@@ -1,0 +1,8 @@
+"""Search engines: exact flat scan, int8 SQ scan, flat ADC, IVF-ADC."""
+
+from cvt_tpu.index.flat import FlatIndex
+from cvt_tpu.index.flat_sq import FlatSQIndex
+from cvt_tpu.index.flat_adc import FlatADCIndex
+from cvt_tpu.index.ivf_adc import IVFADCIndex
+
+__all__ = ["FlatIndex", "FlatSQIndex", "FlatADCIndex", "IVFADCIndex"]

@@ -1,0 +1,184 @@
+"""Flat ADC index: asymmetric-distance scan over PQ/OPQ codes.
+
+This is the north-star engine (BASELINE.json configs 2/4): the HNSW graph
+walk (hnsw_sifts_retrieval) and the IVF probe heap (opq/src/IVFOPQ.cpp
+:237-309) are deliberately replaced by a flat, batched, HBM-resident code
+scan — pointer-chasing does not map to a TPU; streaming matmuls do.
+
+Scoring (L2): for code row c with PQ decode d(c) = concat_m CB[m, c_m],
+
+    ||q - d(c)||^2 = ||q||^2 - 2 <q, d(c)> + ||d(c)||^2
+
+  * ||d(c)||^2 = sum_m cbnorm[m, c_m] is precomputed per point at add()
+    time (one f32 per code row);
+  * <q, d(c)> = sum_m <q_m, CB[m, c_m]>: rather than the reference's
+    per-point LUT-gather loop (IVFOPQ.cpp:300-309), the scan DECODES each
+    code tile to bf16 on the MXU (one-hot matmul) and hits it with a
+    single [T, D] x [D, B] score matmul. Decode-first costs 2*K*D flops
+    per row, amortized over the whole query batch — 10-100x cheaper than
+    LUT-sum-per-query (2*M*K*B) whenever D << M*K, and 100% MXU.
+
+The pure-XLA engine here is the reference implementation; the fused
+Pallas kernel (cvt_tpu.ops.pallas.adc_scan) is the production path and is
+cross-checked against this module in tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvt_tpu.ops.topk import merge_topk
+from cvt_tpu.quant.opq import OPQ
+from cvt_tpu.quant.pq import ProductQuantizer
+
+
+def _decode_chunk_bf16(codes, codebooks):
+    """codes [T, M] int32, codebooks [M, K, ds] -> [T, D] bf16 via one-hot
+    batched matmul (MXU). K-dim one-hot is built as int8 compare masks."""
+    m, k, ds = codebooks.shape
+    t = codes.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m, t, k), 2)
+    onehot = (codes.T[:, :, None] == iota).astype(jnp.bfloat16)  # [M, T, K]
+    dec = jax.lax.dot_general(
+        onehot, codebooks.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.bfloat16)                     # [M, T, ds]
+    return dec.transpose(1, 0, 2).reshape(t, m * ds)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk", "n_valid"))
+def _adc_scan(q, q_sq, codes, dec_sq, codebooks, k, chunk, n_valid):
+    """q [B, D] (already rotated), codes [Npad, M] u8, dec_sq [Npad] f32."""
+    b, d = q.shape
+    npad = codes.shape[0]
+    n_chunks = npad // chunk
+    codes_c = codes.reshape(n_chunks, chunk, codes.shape[1])
+    dec_sq_c = dec_sq.reshape(n_chunks, chunk)
+    qT = q.astype(jnp.bfloat16).T                                # [D, B]
+
+    def scan_chunk(carry, xs):
+        c_idx, chunk_codes, chunk_dsq = xs
+        dec = _decode_chunk_bf16(chunk_codes.astype(jnp.int32),
+                                 codebooks)                      # [T, D] bf16
+        ip = jax.lax.dot_general(
+            dec, qT, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [T, B]
+        dist = (q_sq[None, :] - 2.0 * ip + chunk_dsq[:, None]).T  # [B, T]
+        base = c_idx * chunk
+        local_ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        dist = jnp.where(local_ids < n_valid, dist, jnp.inf)
+        neg, j = jax.lax.top_k(-dist, min(k, chunk))
+        ids = jnp.take_along_axis(
+            jnp.broadcast_to(local_ids, dist.shape), j, axis=-1)
+        best_d, best_i = carry
+        cat_d = jnp.concatenate([best_d, -neg], axis=-1)
+        cat_i = jnp.concatenate([best_i, ids], axis=-1)
+        return merge_topk(cat_d, cat_i, k), None
+
+    init = (jnp.full((b, k), jnp.inf, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32))
+    (best_d, best_i), _ = jax.lax.scan(
+        scan_chunk, init,
+        (jnp.arange(n_chunks, dtype=jnp.int32), codes_c, dec_sq_c))
+    return best_d, best_i
+
+
+class FlatADCIndex:
+    """Flat scan over PQ/OPQ codes with asymmetric (query-float) distances."""
+
+    def __init__(self, quantizer, chunk: int = 16384, impl: str = "auto"):
+        """quantizer: ProductQuantizer or OPQ. impl: 'xla' | 'pallas' |
+        'auto' (pallas on TPU, xla elsewhere)."""
+        if isinstance(quantizer, OPQ):
+            self.pq = quantizer.pq
+            self.rotation = quantizer.rotation
+        elif isinstance(quantizer, ProductQuantizer):
+            self.pq = quantizer
+            self.rotation = None
+        else:
+            raise TypeError(type(quantizer))
+        self.chunk = chunk
+        self.impl = impl
+        self._codes: jax.Array | None = None     # [N, M] u8 (rotated space)
+        self._dec_sq: jax.Array | None = None    # [N] f32
+
+    @property
+    def ntotal(self) -> int:
+        return 0 if self._codes is None else self._codes.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.pq.dim
+
+    def _rotate(self, x):
+        x = jnp.asarray(x, jnp.float32)
+        if self.rotation is None:
+            return x
+        return jnp.matmul(x, self.rotation,
+                          preferred_element_type=jnp.float32)
+
+    def add(self, x=None, *, codes=None) -> None:
+        """Add raw float vectors (rotated+encoded here) or precomputed codes
+        (already in rotated space)."""
+        if codes is None:
+            codes = self.pq.encode(self._rotate(x))
+        codes = jnp.asarray(codes, jnp.uint8)
+        cbn = self.pq.codeword_sqnorms()                         # [M, K]
+        dsq = jnp.sum(jax.vmap(lambda t, c: t[c], in_axes=(0, 1))(
+            cbn, codes.astype(jnp.int32)), axis=0)               # [N]
+        if self._codes is None:
+            self._codes, self._dec_sq = codes, dsq
+        else:
+            self._codes = jnp.concatenate([self._codes, codes], axis=0)
+            self._dec_sq = jnp.concatenate([self._dec_sq, dsq], axis=0)
+
+    def _resolve_impl(self) -> str:
+        if self.impl != "auto":
+            return self.impl
+        return ("pallas" if jax.default_backend() == "tpu" else "xla")
+
+    def search(self, q, k: int):
+        """q [B, D] raw-space float -> (dists [B, k], ids [B, k])."""
+        if self._codes is None:
+            raise RuntimeError("empty index")
+        qr = self._rotate(q)
+        q_sq = jnp.sum(jnp.square(qr), axis=-1)
+        n = self.ntotal
+        chunk = min(self.chunk, n)
+        npad = -(-n // chunk) * chunk
+        codes, dsq = self._codes, self._dec_sq
+        if npad != n:
+            codes = jnp.concatenate(
+                [codes, jnp.zeros((npad - n, self.pq.m), jnp.uint8)], axis=0)
+            dsq = jnp.concatenate(
+                [dsq, jnp.zeros((npad - n,), jnp.float32)], axis=0)
+        impl = self._resolve_impl()
+        if impl == "pallas":
+            from cvt_tpu.ops.pallas.adc_scan import adc_scan_topk
+            return adc_scan_topk(qr, q_sq, codes, dsq,
+                                 self.pq.codebooks, min(k, n), n)
+        return _adc_scan(qr, q_sq, codes, dsq, self.pq.codebooks,
+                         min(k, n), chunk, n)
+
+    # -- persistence ------------------------------------------------------
+    def save(self, path: str) -> None:
+        np.savez(path, codes=np.asarray(self._codes),
+                 dec_sq=np.asarray(self._dec_sq),
+                 codebooks=np.asarray(self.pq.codebooks),
+                 rotation=(np.asarray(self.rotation)
+                           if self.rotation is not None else np.zeros(0)))
+
+    @classmethod
+    def load(cls, path: str) -> "FlatADCIndex":
+        z = np.load(path, allow_pickle=False)
+        pq = ProductQuantizer(jnp.asarray(z["codebooks"]))
+        rot = z["rotation"]
+        quant = OPQ(jnp.asarray(rot), pq) if rot.size else pq
+        idx = cls(quant)
+        idx._codes = jnp.asarray(z["codes"])
+        idx._dec_sq = jnp.asarray(z["dec_sq"])
+        return idx

@@ -1,0 +1,72 @@
+"""Dataset helpers: SIFT1M loader + a synthetic SIFT-like generator.
+
+The reference benchmarks on real SIFT descriptor dumps (125k-5.95M
+vectors, SURVEY.md §6). When SIFT1M is not on disk we synthesize
+SIFT-like data: clustered non-negative vectors with heavy-tailed energy,
+L2 statistics close enough to exercise quantizers and recall harnesses.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from cvt_tpu.io.vecs import read_bvecs, read_fvecs, read_ivecs
+
+_SIFT1M_CANDIDATES = (
+    "/root/data/sift1m",
+    "/root/datasets/sift1m",
+    "/data/sift1m",
+    os.path.expanduser("~/sift1m"),
+)
+
+
+def load_sift1m(root: str | None = None):
+    """Load SIFT1M (base, query, groundtruth) if present on disk, else None.
+
+    Expects TexMex layout: sift_base.fvecs / sift_query.fvecs /
+    sift_groundtruth.ivecs (or the sift/ subdirectory naming).
+    """
+    roots = [root] if root else list(_SIFT1M_CANDIDATES)
+    for r in roots:
+        if not r or not os.path.isdir(r):
+            continue
+        for prefix in ("sift_", "sift/sift_"):
+            base = os.path.join(r, prefix + "base.fvecs")
+            if os.path.exists(base):
+                q = read_fvecs(os.path.join(r, prefix + "query.fvecs"))
+                gt = read_ivecs(os.path.join(r, prefix + "groundtruth.ivecs"))
+                return read_fvecs(base), q, gt
+            base = os.path.join(r, prefix + "base.bvecs")
+            if os.path.exists(base):
+                b = read_bvecs(base).astype(np.float32)
+                q = read_bvecs(
+                    os.path.join(r, prefix + "query.bvecs")).astype(np.float32)
+                gt = read_ivecs(os.path.join(r, prefix + "groundtruth.ivecs"))
+                return b, q, gt
+    return None
+
+
+def synthetic_sift(n: int, d: int = 128, *, n_queries: int = 0,
+                   n_clusters: int = 256, seed: int = 0,
+                   dtype=np.float32):
+    """SIFT-like synthetic data: mixture of clusters, non-negative,
+    heavy-tailed, scaled to SIFT's typical magnitude (0..181 per dim after
+    the 512-quantization convention; here 0..~128 raw).
+
+    Returns feats [n, d] (and queries [n_queries, d] if requested, drawn
+    from the same mixture so nearest neighbors are meaningful).
+    """
+    rng = np.random.default_rng(seed)
+    centers = rng.gamma(shape=1.2, scale=24.0, size=(n_clusters, d))
+
+    def draw(m):
+        ci = rng.integers(0, n_clusters, size=m)
+        x = centers[ci] + rng.normal(0.0, 12.0, size=(m, d))
+        return np.clip(x, 0.0, 255.0).astype(dtype)
+
+    base = draw(n)
+    if n_queries:
+        return base, draw(n_queries)
+    return base

@@ -1,0 +1,106 @@
+"""Host-side binary vector formats.
+
+Two families:
+  * TexMex fvecs/bvecs/ivecs (SIFT1M et al.): little-endian
+    [int32 d][d x elem] per row.
+  * cvt's id+feature record stream, as read by
+    brute_force_search/src/brute_force.cpp:24-61:
+    [int32 n] then per record [int32 idlen][idlen bytes id]
+    [int32 d][d x float32].
+
+All readers return numpy (host) arrays; conversion to device arrays is the
+caller's job so large databases can be sharded before transfer.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _read_vecs(path: str, dtype, elem_size: int) -> np.ndarray:
+    raw = np.fromfile(path, dtype=np.uint8)
+    if raw.size == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    d = int(np.frombuffer(raw[:4], dtype="<i4")[0])
+    row_bytes = 4 + d * elem_size
+    if raw.size % row_bytes != 0:
+        raise ValueError(
+            f"{path}: size {raw.size} not a multiple of row size {row_bytes}")
+    n = raw.size // row_bytes
+    rows = raw.reshape(n, row_bytes)
+    dims = rows[:, :4].copy().view("<i4")[:, 0]
+    if not np.all(dims == d):
+        raise ValueError(f"{path}: inconsistent dims")
+    return rows[:, 4:].copy().view(dtype).reshape(n, d)
+
+
+def read_fvecs(path: str) -> np.ndarray:
+    """Read .fvecs -> float32 [N, D]."""
+    return _read_vecs(path, "<f4", 4)
+
+
+def read_bvecs(path: str) -> np.ndarray:
+    """Read .bvecs -> uint8 [N, D]."""
+    return _read_vecs(path, np.uint8, 1)
+
+
+def read_ivecs(path: str) -> np.ndarray:
+    """Read .ivecs -> int32 [N, D] (ground-truth neighbor lists)."""
+    return _read_vecs(path, "<i4", 4)
+
+
+def _write_vecs(path: str, x: np.ndarray, dtype) -> None:
+    x = np.ascontiguousarray(x.astype(dtype))
+    n, d = x.shape
+    with open(path, "wb") as f:
+        dim_col = np.full((n, 1), d, dtype="<i4")
+        interleaved = np.concatenate(
+            [dim_col.view(np.uint8).reshape(n, 4),
+             x.view(np.uint8).reshape(n, -1)], axis=1)
+        interleaved.tofile(f)
+
+
+def write_fvecs(path: str, x: np.ndarray) -> None:
+    _write_vecs(path, x, "<f4")
+
+
+def write_ivecs(path: str, x: np.ndarray) -> None:
+    _write_vecs(path, x, "<i4")
+
+
+def read_cvt_records(path: str):
+    """Read cvt's [n][idlen,id,d,float[d]]* stream -> (ids, feats).
+
+    ids: list[str], feats: float32 [N, D]. Mirrors the loop in
+    brute_force_search/src/brute_force.cpp:37-61.
+    """
+    ids: list[str] = []
+    feats: list[np.ndarray] = []
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<i", f.read(4))
+        for _ in range(n):
+            (idlen,) = struct.unpack("<i", f.read(4))
+            ids.append(f.read(idlen).split(b"\x00")[0].decode("utf-8"))
+            (d,) = struct.unpack("<i", f.read(4))
+            feats.append(np.frombuffer(f.read(4 * d), dtype="<f4"))
+    dims = {v.shape[0] for v in feats}
+    if len(dims) > 1:
+        raise ValueError(f"{path}: inconsistent dims {dims}")
+    return ids, (np.stack(feats) if feats
+                 else np.zeros((0, 0), np.float32))
+
+
+def write_cvt_records(path: str, ids, feats: np.ndarray) -> None:
+    """Write the cvt id+feature record stream."""
+    feats = np.asarray(feats, dtype="<f4")
+    assert len(ids) == feats.shape[0]
+    with open(path, "wb") as f:
+        f.write(struct.pack("<i", len(ids)))
+        for name, row in zip(ids, feats):
+            raw = name.encode("utf-8")
+            f.write(struct.pack("<i", len(raw)))
+            f.write(raw)
+            f.write(struct.pack("<i", row.shape[0]))
+            f.write(row.tobytes())

@@ -1,0 +1,32 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set the env vars BEFORE jax is imported anywhere (SURVEY.md §4's
+multi-host testing recipe the reference lacks).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def sift_like():
+    """Small synthetic SIFT-like dataset shared across tests."""
+    from cvt_tpu.io.datasets import synthetic_sift
+    base, queries = synthetic_sift(4096, 128, n_queries=64, seed=0)
+    return base, queries
