@@ -1,0 +1,91 @@
+"""Top-level SIFT extraction: images in, fixed-size features out.
+
+The public equivalent of `vl_covdet()` (covdet/vl_covdet.hpp:33-266) and
+`ExtractSiftFeaturesCPU` (retrieval/vlindex/src/feature/sift.cc:422):
+grayscale images -> keypoint frames (x, y, sigma, angle) + 128-d
+descriptors. Ragged per-image keypoint counts become fixed [B, maxK]
+slots with a validity mask (SURVEY.md §7 "ragged features" hard part).
+
+Per octave: detect -> refine -> orient -> describe; octave results are
+concatenated and reduced to the global top-maxK by |response| — matching
+the reference's max_num_features cap (sift.h:62, makeSIFTs.cpp cap 128).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from cvt_tpu.features.descriptor import (
+    assign_orientations, root_sift, sift_descriptors)
+from cvt_tpu.features.detect import detect_octave
+from cvt_tpu.features.scale_space import build_pyramid
+
+
+@dataclass
+class SiftFeatures:
+    """frames [B, K, 4] = (x, y, sigma, angle) in input-image coords;
+    descriptors [B, K, 128]; response [B, K]; valid [B, K] bool."""
+    frames: jax.Array
+    descriptors: jax.Array
+    response: jax.Array
+    valid: jax.Array
+
+    @property
+    def n_valid(self):
+        return jnp.sum(self.valid, axis=-1)
+
+
+def extract_sift(images, *, max_features: int = 512,
+                 peak_threshold: float = 0.02 / 3,
+                 edge_threshold: float = 10.0,
+                 first_octave: int = -1, n_scales: int = 3,
+                 rootsift: bool = False,
+                 max_per_octave: int | None = None) -> SiftFeatures:
+    """images [B, H, W] float in [0, 1] (grayscale) -> SiftFeatures.
+
+    Defaults mirror vlindex (sift.h:59-84); rootsift=True applies the
+    L1-sqrt transform of hnsw_sifts_retrieval.
+    """
+    images = jnp.asarray(images, jnp.float32)
+    if images.ndim == 2:
+        images = images[None]
+    pyr = build_pyramid(images, n_scales=n_scales,
+                        first_octave=first_octave, with_gradients=True)
+    b = images.shape[0]
+    per_oct = max_per_octave or max_features
+
+    parts = []
+    for octv in pyr:
+        x_f, y_f, l_f, lev_i, resp, valid = detect_octave(
+            octv.dog, max_k=per_oct, peak_threshold=peak_threshold,
+            edge_threshold=edge_threshold)
+        # sigma in octave pixels from the refined level coordinate
+        sigma_oct = 1.6 * (2.0 ** (l_f / float(n_scales)))
+        # gradients live on the Gaussian levels; use the nearest level
+        ang = assign_orientations(octv.grad_dx, octv.grad_dy, x_f, y_f,
+                                  sigma_oct, lev_i, valid)
+        desc = sift_descriptors(octv.grad_dx, octv.grad_dy, x_f, y_f,
+                                sigma_oct, lev_i, ang, valid)
+        step = octv.step
+        parts.append(dict(
+            x=x_f * step, y=y_f * step, sigma=sigma_oct * step,
+            angle=ang, resp=jnp.where(valid, resp, 0.0),
+            valid=valid, desc=desc))
+
+    cat = {k: jnp.concatenate([p[k] for p in parts], axis=1)
+           for k in parts[0]}
+    # global top-maxK by |response|
+    score = jnp.where(cat["valid"], jnp.abs(cat["resp"]), -1.0)
+    _, sel = jax.lax.top_k(score, min(max_features, score.shape[1]))
+    take = lambda a: jnp.take_along_axis(a, sel, axis=1)
+    frames = jnp.stack([take(cat["x"]), take(cat["y"]),
+                        take(cat["sigma"]), take(cat["angle"])], axis=-1)
+    desc = jnp.take_along_axis(cat["desc"], sel[..., None], axis=1)
+    valid = take(cat["valid"]) & (take(cat["resp"]) != 0.0)
+    if rootsift:
+        desc = jnp.where(valid[..., None], root_sift(desc), 0.0)
+    return SiftFeatures(frames=frames, descriptors=desc,
+                        response=take(cat["resp"]), valid=valid)

@@ -1,0 +1,171 @@
+"""Orientation assignment + SIFT descriptor, batched over keypoints.
+
+Reference: VLFeat's per-feature patch pipeline as driven by
+covdet/vl_covdet.hpp:159-247 (extract orientations, then
+`vl_sift_calc_raw_descriptor` on polar gradients) and the classic Lowe
+parameters (4x4 spatial bins x 8 orientations, Gaussian window,
+0.2 clipping, 512 scaling); RootSIFT from
+hnsw_sifts_retrieval/makeSIFTs.cpp:79-95 (L1 -> sqrt -> L2).
+
+TPU-native: no per-keypoint loops. Every keypoint samples a FIXED PxP
+grid (scaled by its sigma, rotated by its orientation) from its pyramid
+level's gradient fields via batched bilinear gathers; histogramming is a
+soft one-hot matmul-style scatter. Shapes are [B, K, P, P] throughout —
+the fixed-size replacement for VLFeat's per-feature C loops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+N_ORI_BINS = 36
+N_SPATIAL = 4     # 4x4 descriptor grid
+N_ORI = 8
+DESC_DIM = N_SPATIAL * N_SPATIAL * N_ORI  # 128
+
+
+def bilinear_sample(img: jax.Array, xs: jax.Array, ys: jax.Array):
+    """img [H, W]; xs/ys [...] float coords -> sampled values [...].
+    Out-of-bounds clamps (callers mask borders via weights)."""
+    h, w = img.shape
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
+    fx = jnp.clip(xs - x0, 0.0, 1.0)
+    fy = jnp.clip(ys - y0, 0.0, 1.0)
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
+
+
+def _sample_level(stack: jax.Array, level: jax.Array, xs, ys):
+    """stack [L, H, W]; level [] int; xs/ys [...] -> values [...]."""
+    img = jax.lax.dynamic_index_in_dim(stack, level, axis=0,
+                                       keepdims=False)
+    return bilinear_sample(img, xs, ys)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def assign_orientations(dx, dy, x, y, sigma_oct, level, valid, *,
+                        n_samples: int = 16):
+    """Dominant gradient orientation per keypoint.
+
+    dx/dy [B, L, H, W] gradient fields (octave); x/y [B, K] octave
+    coords; sigma_oct [B, K] scale in octave pixels; level [B, K] int32.
+    Returns angle [B, K] in radians.
+    """
+    p = n_samples
+    # fixed sample grid in units of sigma (window radius 3*1.5*sigma)
+    lin = np.linspace(-1.0, 1.0, p, dtype=np.float32)
+    gx, gy = np.meshgrid(lin, lin)
+    grid = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], 1))    # [P^2, 2]
+    win_r = 3.0 * 1.5
+
+    def per_kp(dxs, dys, xi, yi, si, li):
+        xs = xi + si * win_r * grid[:, 0]
+        ys = yi + si * win_r * grid[:, 1]
+        vx = _sample_level(dxs, li, xs, ys)
+        vy = _sample_level(dys, li, xs, ys)
+        mag = jnp.sqrt(vx * vx + vy * vy)
+        ang = jnp.arctan2(vy, vx)                                # [-pi, pi]
+        r2 = (grid[:, 0] ** 2 + grid[:, 1] ** 2) * (win_r ** 2)
+        wgt = jnp.exp(-r2 / (2.0 * (1.5 * win_r / 2) ** 2))
+        binf = (ang + jnp.pi) / (2 * jnp.pi) * N_ORI_BINS
+        b0 = jnp.floor(binf).astype(jnp.int32) % N_ORI_BINS
+        fb = binf - jnp.floor(binf)
+        contrib = mag * wgt
+        hist = (jnp.zeros(N_ORI_BINS)
+                .at[b0].add(contrib * (1 - fb))
+                .at[(b0 + 1) % N_ORI_BINS].add(contrib * fb))
+        # smooth the histogram (VLFeat smooths 6x; 2 passes suffice here)
+        for _ in range(2):
+            hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+        bmax = jnp.argmax(hist)
+        # parabolic peak interpolation
+        hl = hist[(bmax - 1) % N_ORI_BINS]
+        hc = hist[bmax]
+        hr = hist[(bmax + 1) % N_ORI_BINS]
+        denom = hl - 2 * hc + hr
+        off = jnp.where(jnp.abs(denom) > 1e-12,
+                        0.5 * (hl - hr) / denom, 0.0)
+        off = jnp.clip(off, -0.5, 0.5)
+        return ((bmax + off + 0.5) / N_ORI_BINS) * 2 * jnp.pi - jnp.pi
+
+    f = jax.vmap(jax.vmap(per_kp, in_axes=(None, None, 0, 0, 0, 0)),
+                 in_axes=(0, 0, 0, 0, 0, 0))
+    ang = f(dx, dy, x, y, sigma_oct, level)
+    return jnp.where(valid, ang, 0.0)
+
+
+@partial(jax.jit, static_argnames=("n_samples", "magnif"))
+def sift_descriptors(dx, dy, x, y, sigma_oct, level, angle, valid, *,
+                     n_samples: int = 16, magnif: float = 3.0):
+    """128-d SIFT descriptors for fixed-size keypoint sets.
+
+    Sampling window spans the 4x4 spatial bins, each of width
+    magnif*sigma (Lowe/VLFeat convention). Returns [B, K, 128] float32,
+    L2-normalized with 0.2 clipping.
+    """
+    p = n_samples
+    half = N_SPATIAL / 2.0                 # bin units
+    lin = np.linspace(-half + half / p, half - half / p, p,
+                      dtype=np.float32)    # bin-space sample centers
+    gx, gy = np.meshgrid(lin, lin)
+    grid = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], 1))    # [P^2, 2]
+    # precompute spatial soft-assign weights to the 4x4 bins
+    bin_centers = jnp.asarray(
+        np.arange(N_SPATIAL, dtype=np.float32) - (N_SPATIAL - 1) / 2.0)
+
+    def per_kp(dxs, dys, xi, yi, si, li, ai):
+        ca, sa = jnp.cos(ai), jnp.sin(ai)
+        bw = magnif * si                   # bin width in octave pixels
+        # rotate the bin-space grid into the image
+        u = grid[:, 0] * bw
+        v = grid[:, 1] * bw
+        xs = xi + ca * u - sa * v
+        ys = yi + sa * u + ca * v
+        vx = _sample_level(dxs, li, xs, ys)
+        vy = _sample_level(dys, li, xs, ys)
+        mag = jnp.sqrt(vx * vx + vy * vy)
+        ang = jnp.arctan2(vy, vx) - ai
+        # Gaussian window over the descriptor support
+        r2 = grid[:, 0] ** 2 + grid[:, 1] ** 2
+        wgt = jnp.exp(-r2 / (2.0 * (half ** 2)))
+        contrib = mag * wgt                                       # [P^2]
+        # spatial soft-assignment (hat function per bin axis)
+        dxb = jnp.abs(grid[:, 0, None] - bin_centers[None, :])    # [P^2, 4]
+        dyb = jnp.abs(grid[:, 1, None] - bin_centers[None, :])
+        wxb = jnp.maximum(0.0, 1.0 - dxb)
+        wyb = jnp.maximum(0.0, 1.0 - dyb)
+        # orientation soft-assignment into 8 bins
+        obinf = (ang % (2 * jnp.pi)) / (2 * jnp.pi) * N_ORI
+        o0 = jnp.floor(obinf).astype(jnp.int32) % N_ORI
+        fo = obinf - jnp.floor(obinf)
+        w_o = (jax.nn.one_hot(o0, N_ORI) * (1 - fo)[:, None]
+               + jax.nn.one_hot((o0 + 1) % N_ORI, N_ORI) * fo[:, None])
+        # accumulate: [P^2] x [P^2,4] x [P^2,4] x [P^2,8] -> [4,4,8]
+        d = jnp.einsum("p,py,px,po->yxo", contrib, wyb, wxb, w_o)
+        d = d.reshape(-1)
+        # normalize -> clip 0.2 -> renormalize (Lowe)
+        d = d * jax.lax.rsqrt(jnp.sum(d * d) + 1e-12)
+        d = jnp.minimum(d, 0.2)
+        d = d * jax.lax.rsqrt(jnp.sum(d * d) + 1e-12)
+        return d
+
+    f = jax.vmap(jax.vmap(per_kp, in_axes=(None, None, 0, 0, 0, 0, 0)),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0))
+    desc = f(dx, dy, x, y, sigma_oct, level, angle)
+    return jnp.where(valid[..., None], desc, 0.0)
+
+
+def root_sift(desc: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """RootSIFT: L1-normalize, sqrt, (already unit-L2 afterwards).
+    Matches hnsw_sifts_retrieval/makeSIFTs.cpp:79-95."""
+    l1 = jnp.sum(jnp.abs(desc), axis=-1, keepdims=True)
+    return jnp.sqrt(desc / (l1 + eps))

@@ -79,8 +79,13 @@ def _adc_scan(q, q_sq, codes, dec_sq, codebooks, k, chunk, n_valid):
         cat_i = jnp.concatenate([best_i, ids], axis=-1)
         return merge_topk(cat_d, cat_i, k), None
 
-    init = (jnp.full((b, k), jnp.inf, jnp.float32),
-            jnp.full((b, k), -1, jnp.int32))
+    # derive the init from both operands so it inherits every
+    # device-varying axis when this engine runs inside a shard_map body
+    # (jax vma typing): q_sq may vary over a query axis, dec_sq over a
+    # database axis
+    zero = q_sq[:, None] * 0.0 + dec_sq[0] * 0.0
+    init = (jnp.broadcast_to(zero + jnp.inf, (b, k)),
+            jnp.broadcast_to(zero.astype(jnp.int32) - 1, (b, k)))
     (best_d, best_i), _ = jax.lax.scan(
         scan_chunk, init,
         (jnp.arange(n_chunks, dtype=jnp.int32), codes_c, dec_sq_c))
@@ -157,12 +162,36 @@ class FlatADCIndex:
             dsq = jnp.concatenate(
                 [dsq, jnp.zeros((npad - n,), jnp.float32)], axis=0)
         impl = self._resolve_impl()
-        if impl == "pallas":
-            from cvt_tpu.ops.pallas.adc_scan import adc_scan_topk
-            return adc_scan_topk(qr, q_sq, codes, dsq,
-                                 self.pq.codebooks, min(k, n), n)
+        if impl == "pallas" and k <= 128:
+            from cvt_tpu.ops.pallas.adc_scan import adc_search
+            codes_t, cbt_g, group = self._pallas_arrays()
+            return adc_search(qr, q_sq, self._codes, self._dec_sq,
+                              self.pq.codebooks, min(k, n), n,
+                              codes_t=codes_t, cbt_g=cbt_g, group=group)
         return _adc_scan(qr, q_sq, codes, dsq, self.pq.codebooks,
                          min(k, n), chunk, n)
+
+    def _pallas_arrays(self):
+        """Transposed int32 codes + grouped codebooks, laid out once for
+        the Pallas kernel (padded to the largest tile so any tile_n
+        divides)."""
+        n = self.ntotal
+        if getattr(self, "_codes_t_n", None) != n:
+            from cvt_tpu.ops.pallas.adc_scan import _group_codebooks
+            npad = -(-n // 16384) * 16384
+            codes = self._codes
+            if npad != n:
+                codes = jnp.concatenate(
+                    [codes, jnp.zeros((npad - n, self.pq.m), jnp.uint8)],
+                    axis=0)
+            ct = jnp.asarray(codes).astype(jnp.int32).T          # [M, Npad]
+            mpad = -(-ct.shape[0] // 8) * 8
+            if mpad != ct.shape[0]:
+                ct = jnp.pad(ct, ((0, mpad - ct.shape[0]), (0, 0)))
+            self._codes_t = jax.device_put(ct)
+            self._cbt_g, self._group = _group_codebooks(self.pq.codebooks)
+            self._codes_t_n = n
+        return self._codes_t, self._cbt_g, self._group
 
     # -- persistence ------------------------------------------------------
     def save(self, path: str) -> None:

@@ -80,8 +80,11 @@ def _sq_scan(r_scaled, r_sq, codes_s8, term3, k, mode, chunk, n_valid):
         cat_i = jnp.concatenate([best_i, ids], axis=-1)
         return merge_topk(cat_d, cat_i, k), None
 
-    init = (jnp.full((b, k), jnp.inf, jnp.float32),
-            jnp.full((b, k), -1, jnp.int32))
+    # init derived from both operands so it inherits device-varying axes
+    # under shard_map (jax vma typing)
+    zero = r_sq[:, None] * 0.0 + term3[0] * 0.0
+    init = (jnp.broadcast_to(zero + jnp.inf, (b, k)),
+            jnp.broadcast_to(zero.astype(jnp.int32) - 1, (b, k)))
     (best_d, best_i), _ = jax.lax.scan(
         scan_chunk, init,
         (jnp.arange(n_chunks, dtype=jnp.int32), codes_c, term3_c))

@@ -49,16 +49,21 @@ def load_sift1m(root: str | None = None):
 
 
 def synthetic_sift(n: int, d: int = 128, *, n_queries: int = 0,
-                   n_clusters: int = 256, seed: int = 0,
-                   dtype=np.float32):
+                   n_clusters: int | None = None, seed: int = 0,
+                   query_noise: float = 6.0, dtype=np.float32):
     """SIFT-like synthetic data: mixture of clusters, non-negative,
-    heavy-tailed, scaled to SIFT's typical magnitude (0..181 per dim after
-    the 512-quantization convention; here 0..~128 raw).
+    heavy-tailed, scaled to SIFT's typical magnitude.
 
-    Returns feats [n, d] (and queries [n_queries, d] if requested, drawn
-    from the same mixture so nearest neighbors are meaningful).
+    n_clusters defaults to max(256, n // 16) so nearest-neighbor gaps
+    stay meaningful at scale (with few clusters, same-cluster points
+    differ only by iid noise and no compact code can rank them — recall
+    would measure the generator, not the index). Queries are perturbed
+    copies of random base points (near-duplicate retrieval, cvt's actual
+    workload) with noise `query_noise` << the cluster noise.
     """
     rng = np.random.default_rng(seed)
+    if n_clusters is None:
+        n_clusters = max(256, n // 16)
     centers = rng.gamma(shape=1.2, scale=24.0, size=(n_clusters, d))
 
     def draw(m):
@@ -68,5 +73,7 @@ def synthetic_sift(n: int, d: int = 128, *, n_queries: int = 0,
 
     base = draw(n)
     if n_queries:
-        return base, draw(n_queries)
+        src = rng.integers(0, n, size=n_queries)
+        q = base[src] + rng.normal(0.0, query_noise, size=(n_queries, d))
+        return base, np.clip(q, 0.0, 255.0).astype(dtype)
     return base

@@ -1,0 +1,102 @@
+"""Batched RANSAC with local optimization (LO) refit.
+
+Reference: vlindex `RANSAC<Estimator,SupportMeasurer,Sampler>` — the
+sequential adaptive-trial loop (optim/ransac.h:184-259, trial bound
+:159-169) and `LORANSAC` (optim/loransac.h:54).
+
+TPU-native redesign (SURVEY.md §7 hard part "data-dependent control
+flow"): instead of a sequential loop with a data-dependent stopping rule,
+over-provision S hypotheses, solve them ALL as one batched minimal-solver
+call, score all S x N residuals in one broadcasted pass, pick the best
+support, then LO-refit on its inliers (optionally iterated). Deterministic
+given the key, fixed shapes, no host sync.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cvt_tpu.match.solvers import (
+    apply_affine, apply_homography, fit_affine, fit_homography_dlt)
+
+_MODELS = {
+    "affine": dict(min_n=3, fit=fit_affine, apply=apply_affine),
+    "homography": dict(min_n=4, fit=fit_homography_dlt,
+                       apply=apply_homography),
+}
+
+
+class RansacResult(NamedTuple):
+    model: jax.Array       # [2, 3] affine or [3, 3] homography
+    inliers: jax.Array     # [N] bool
+    n_inliers: jax.Array   # scalar int32
+    success: jax.Array     # scalar bool
+
+
+@partial(jax.jit, static_argnames=("model", "n_hypotheses", "lo_iters",
+                                   "min_inliers"))
+def ransac(key, src, dst, valid=None, *, model: str = "affine",
+           threshold: float = 4.0, n_hypotheses: int = 256,
+           lo_iters: int = 2, min_inliers: int = 6) -> RansacResult:
+    """src/dst [N, 2] matched points, valid [N] mask; threshold in pixels.
+
+    Returns the best model by inlier count and its inlier mask.
+    """
+    spec = _MODELS[model]
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    n = src.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    mn = spec["min_n"]
+    t2 = threshold * threshold
+
+    # ---- sample S minimal sets (weighted toward valid entries) ---------
+    # Gumbel top-k per hypothesis gives distinct indices with
+    # valid-only support.
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    g = jax.random.gumbel(key, (n_hypotheses, n)) + logits[None, :]
+    _, picks = jax.lax.top_k(g, mn)                          # [S, mn]
+    s_src = src[picks]                                       # [S, mn, 2]
+    s_dst = dst[picks]
+
+    # ---- fit all hypotheses and score all residuals --------------------
+    models = spec["fit"](s_src, s_dst)                       # [S, ...]
+    proj = spec["apply"](models, jnp.broadcast_to(src, (n_hypotheses, n, 2)))
+    res2 = jnp.sum((proj - dst[None]) ** 2, axis=-1)         # [S, N]
+    inl = (res2 < t2) & valid[None, :]
+    support = jnp.sum(inl, axis=-1)                          # [S]
+    finite = jnp.all(jnp.isfinite(models.reshape(n_hypotheses, -1)),
+                     axis=-1)
+    support = jnp.where(finite, support, -1)
+    best = jnp.argmax(support)
+    best_model = models[best]
+    best_inl = inl[best]
+
+    # ---- local optimization (affine): weighted refit on inliers --------
+    # (homography LO would need an inlier-weighted DLT; deferred — the
+    # batched hypothesis count already substitutes for most of LO's gain)
+    def lo_step(carry, _):
+        mdl, inl_mask = carry
+        w = inl_mask.astype(jnp.float32)
+        mdl2 = fit_affine(src, dst, w)
+        proj2 = spec["apply"](mdl2, src)
+        r2 = jnp.sum((proj2 - dst) ** 2, axis=-1)
+        new_inl = (r2 < t2) & valid
+        better = jnp.sum(new_inl) >= jnp.sum(inl_mask)
+        mdl = jnp.where(better, mdl2, mdl)
+        inl_mask = jnp.where(better, new_inl, inl_mask)
+        return (mdl, inl_mask), None
+
+    if model == "affine" and lo_iters > 0:
+        (best_model, best_inl), _ = jax.lax.scan(
+            lo_step, (best_model, best_inl), None, length=lo_iters)
+
+    n_inl = jnp.sum(best_inl)
+    return RansacResult(model=best_model, inliers=best_inl,
+                        n_inliers=n_inl.astype(jnp.int32),
+                        success=n_inl >= min_inliers)

@@ -1,0 +1,92 @@
+"""Minimal solvers for 2D geometric models (affine, homography).
+
+Reference: covdet/geo_verification.hpp (3-stage affine->pinv->normalized
+DLT homography verifier, `toAffinity` :217-256, `centering` :181-212) and
+vlindex estimators (affine_transform.h 3-pt DLT, homography_matrix 4-pt
+DLT with Hartley normalization).
+
+All solvers are batched: [S, n, 2] point sets -> [S, ...] models, so
+RANSAC evaluates every hypothesis in parallel on the MXU (lstsq/SVD over
+small batched systems).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def fit_affine(src: jax.Array, dst: jax.Array,
+               weights: jax.Array | None = None) -> jax.Array:
+    """Least-squares affine A (2x3) with dst ~= A @ [src; 1].
+
+    src/dst [..., n, 2] (n >= 3). Batched closed-form normal equations.
+    """
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    ones = jnp.ones(src.shape[:-1] + (1,), src.dtype)
+    x = jnp.concatenate([src, ones], axis=-1)            # [..., n, 3]
+    if weights is not None:
+        w = weights[..., None]
+        xtx = jnp.einsum("...ni,...nj->...ij", x * w, x)
+        xty = jnp.einsum("...ni,...nj->...ij", x * w, dst)
+    else:
+        xtx = jnp.einsum("...ni,...nj->...ij", x, x)
+        xty = jnp.einsum("...ni,...nj->...ij", x, dst)
+    eye = jnp.eye(3, dtype=src.dtype) * 1e-6
+    sol = jnp.linalg.solve(xtx + eye, xty)               # [..., 3, 2]
+    return jnp.swapaxes(sol, -1, -2)                     # [..., 2, 3]
+
+
+def apply_affine(a: jax.Array, pts: jax.Array) -> jax.Array:
+    """a [..., 2, 3], pts [..., n, 2] -> [..., n, 2]."""
+    return (jnp.einsum("...ij,...nj->...ni", a[..., :2], pts)
+            + a[..., None, :, 2])
+
+
+def _hartley_normalize(pts):
+    """Similarity transform T s.t. T(pts) has zero mean, sqrt(2) RMS."""
+    mean = jnp.mean(pts, axis=-2, keepdims=True)
+    d = jnp.sqrt(jnp.sum((pts - mean) ** 2, axis=-1))
+    scale = jnp.sqrt(2.0) / (jnp.mean(d, axis=-1, keepdims=True) + 1e-12)
+    s = scale[..., None]
+    t = jnp.zeros(pts.shape[:-2] + (3, 3), pts.dtype)
+    t = t.at[..., 0, 0].set(scale[..., 0]).at[..., 1, 1].set(scale[..., 0])
+    t = t.at[..., 0, 2].set(-scale[..., 0] * mean[..., 0, 0])
+    t = t.at[..., 1, 2].set(-scale[..., 0] * mean[..., 0, 1])
+    t = t.at[..., 2, 2].set(1.0)
+    return (pts - mean) * s, t
+
+
+def fit_homography_dlt(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Normalized 4+-point DLT homography H (3x3, h22=1-ish).
+
+    src/dst [..., n, 2] (n >= 4). Batched SVD of the 2n x 9 system with
+    Hartley normalization (geo_verification.hpp:117-160 semantics).
+    """
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    sn, t1 = _hartley_normalize(src)
+    dn, t2 = _hartley_normalize(dst)
+    x, y = sn[..., 0], sn[..., 1]
+    u, v = dn[..., 0], dn[..., 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    r1 = jnp.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u],
+                   axis=-1)
+    r2 = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v],
+                   axis=-1)
+    a = jnp.concatenate([r1, r2], axis=-2)               # [..., 2n, 9]
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+    h = vt[..., -1, :].reshape(src.shape[:-2] + (3, 3))
+    # denormalize: H = T2^-1 Hn T1
+    h = jnp.linalg.solve(t2, jnp.matmul(h, t1))
+    return h / (h[..., 2:3, 2:3] + 1e-12)
+
+
+def apply_homography(h: jax.Array, pts: jax.Array) -> jax.Array:
+    """h [..., 3, 3], pts [..., n, 2] -> projected [..., n, 2]."""
+    ones = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
+    ph = jnp.concatenate([pts, ones], axis=-1)
+    out = jnp.einsum("...ij,...nj->...ni", h, ph)
+    return out[..., :2] / (out[..., 2:3] + 1e-12)

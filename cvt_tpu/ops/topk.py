@@ -85,8 +85,11 @@ def chunked_topk_scan(q: jax.Array, db: jax.Array, k: int,
         return merge_topk(cat_d, cat_i, k), None
 
     b = q.shape[0]
-    init = (jnp.full((b, k), jnp.inf, jnp.float32),
-            jnp.full((b, k), -1, jnp.int32))
+    # init derived from q so it inherits device-varying axes under
+    # shard_map (jax vma typing)
+    zero = jnp.sum(q * 0.0, axis=-1, keepdims=True) + db[0, 0] * 0.0
+    init = (jnp.broadcast_to(zero + jnp.inf, (b, k)),
+            jnp.broadcast_to(zero.astype(jnp.int32) - 1, (b, k)))
     (best_d, best_i), _ = jax.lax.scan(
         scan_chunk, init, (jnp.arange(n_chunks, dtype=jnp.int32), db_c))
     return best_d, best_i

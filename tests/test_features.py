@@ -1,0 +1,117 @@
+"""Feature pipeline: pyramid invariants, detection on synthetic blobs,
+descriptor invariance properties."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cvt_tpu.features import build_pyramid, extract_sift, root_sift
+
+
+def _blob_image(h=128, w=128, blobs=((64, 64, 6.0),), seed=0):
+    """White Gaussian blobs on black background."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.zeros((h, w), np.float32)
+    for (cy, cx, s) in blobs:
+        img += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+    return np.clip(img, 0, 1)
+
+
+def test_pyramid_shapes_and_blur_energy():
+    img = np.random.default_rng(0).random((2, 64, 64)).astype(np.float32)
+    pyr = build_pyramid(img, first_octave=0, n_scales=3)
+    assert pyr[0].gauss.shape == (2, 6, 64, 64)
+    assert pyr[0].dog.shape == (2, 5, 64, 64)
+    assert pyr[1].gauss.shape[-1] == 32
+    # increasing blur reduces high-frequency energy monotonically
+    g = np.asarray(pyr[0].gauss)
+    hf = [np.abs(np.diff(g[0, s], axis=-1)).mean() for s in range(6)]
+    assert all(hf[i] >= hf[i + 1] - 1e-6 for i in range(5))
+
+
+def test_pyramid_first_octave_minus_one_doubles():
+    img = np.zeros((1, 64, 64), np.float32)
+    pyr = build_pyramid(img, first_octave=-1)
+    assert pyr[0].gauss.shape[-1] == 128
+    assert pyr[0].step == 0.5
+
+
+def test_detect_single_blob():
+    img = _blob_image(blobs=((64, 64, 5.0),))[None]
+    feats = extract_sift(img, max_features=32, first_octave=0)
+    v = np.asarray(feats.valid[0])
+    assert v.any(), "no keypoints on a clear blob"
+    fr = np.asarray(feats.frames[0])[v]
+    # strongest keypoint near the blob center
+    d = np.sqrt((fr[:, 0] - 64) ** 2 + (fr[:, 1] - 64) ** 2)
+    assert d.min() < 3.0, d.min()
+
+
+def test_detect_scale_ordering():
+    """A bigger blob must fire at a larger sigma than a smaller one."""
+    img_small = _blob_image(blobs=((64, 64, 3.0),))[None]
+    img_big = _blob_image(blobs=((64, 64, 9.0),))[None]
+    f_s = extract_sift(img_small, max_features=8, first_octave=0)
+    f_b = extract_sift(img_big, max_features=8, first_octave=0)
+
+    def top_sigma(f):
+        v = np.asarray(f.valid[0])
+        fr = np.asarray(f.frames[0])[v]
+        re = np.abs(np.asarray(f.response[0])[v])
+        return fr[re.argmax(), 2]
+
+    assert top_sigma(f_b) > 1.5 * top_sigma(f_s)
+
+
+def test_descriptor_rotation_invariance():
+    """Descriptors of a textured image and its exact 90-degree rotation
+    must match at corresponding keypoints (with angles offset by 90)."""
+    from cvt_tpu.features.scale_space import _blur
+
+    rng = np.random.default_rng(5)
+    tex = rng.random((1, 96, 96)).astype(np.float32)
+    tex = np.asarray(_blur(jnp.asarray(tex), 2.0))
+    tex = (tex - tex.min()) / (np.ptp(tex) + 1e-9)
+    rot = np.rot90(tex[0]).copy()[None]
+    f1 = extract_sift(tex, max_features=16, first_octave=0)
+    f2 = extract_sift(rot, max_features=16, first_octave=0)
+    v1 = np.asarray(f1.valid[0])
+    v2 = np.asarray(f2.valid[0])
+    fr1 = np.asarray(f1.frames[0])[v1]
+    fr2 = np.asarray(f2.frames[0])[v2]
+    d1 = np.asarray(f1.descriptors[0])[v1]
+    d2 = np.asarray(f2.descriptors[0])[v2]
+    # rot90 maps (x, y) -> (y, H-1-x)
+    mapped = np.stack([fr1[:, 1], (96 - 1) - fr1[:, 0]], 1)
+    checked = 0
+    for i in range(len(fr1)):
+        dd = np.linalg.norm(fr2[:, :2] - mapped[i], axis=1)
+        j = dd.argmin()
+        if dd[j] < 2.0:
+            assert d1[i] @ d2[j] > 0.9, (i, j, d1[i] @ d2[j])
+            da = np.degrees(fr1[i, 3] - fr2[j, 3]) % 360
+            assert abs(da - 90.0) < 15.0 or abs(da - 270.0) < 15.0, da
+            checked += 1
+    assert checked >= 4, checked
+
+
+def test_descriptor_norms_and_rootsift():
+    img = _blob_image(blobs=((40, 40, 3.0), (90, 80, 5.0)))[None]
+    feats = extract_sift(img, max_features=16, first_octave=0)
+    v = np.asarray(feats.valid[0])
+    d = np.asarray(feats.descriptors[0])[v]
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-3)
+    assert d.min() >= 0.0 and d.max() <= 0.21
+    r = np.asarray(root_sift(jnp.asarray(d)))
+    np.testing.assert_allclose(np.linalg.norm(r, axis=-1), 1.0, atol=1e-3)
+
+
+def test_batched_extraction_matches_single():
+    imgs = np.stack([_blob_image(blobs=((40, 40, 4.0),)),
+                     _blob_image(blobs=((80, 90, 6.0),))])
+    fb = extract_sift(imgs, max_features=8, first_octave=0)
+    f0 = extract_sift(imgs[0][None], max_features=8, first_octave=0)
+    v = np.asarray(fb.valid[0]) & np.asarray(f0.valid[0])
+    np.testing.assert_allclose(np.asarray(fb.frames[0])[v],
+                               np.asarray(f0.frames[0])[v], atol=1e-3)
