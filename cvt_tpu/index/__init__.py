@@ -4,5 +4,7 @@ from cvt_tpu.index.flat import FlatIndex
 from cvt_tpu.index.flat_sq import FlatSQIndex
 from cvt_tpu.index.flat_adc import FlatADCIndex
 from cvt_tpu.index.ivf_adc import IVFADCIndex
+from cvt_tpu.index.vocab_he import VocabHEIndex
 
-__all__ = ["FlatIndex", "FlatSQIndex", "FlatADCIndex", "IVFADCIndex"]
+__all__ = ["FlatIndex", "FlatSQIndex", "FlatADCIndex", "IVFADCIndex",
+           "VocabHEIndex"]
