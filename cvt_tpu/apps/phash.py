@@ -39,13 +39,16 @@ def phash(images: jax.Array, cons: int = 0) -> jax.Array:
     (lo word = bits 0..31 over the first 32 coefficients in row-major
     order, hi word = bits 32..63).
 
-    cons: top-left offset of the 8x8 coefficient block (reference uses 0,
-    or 15 for the high-frequency variant).
+    cons: extra offset of the 8x8 coefficient block (reference uses 0,
+    or 15 for the high-frequency variant). The block starts at
+    (1+cons, 1+cons) — row/col 0 (the DC term and first AC row/col) are
+    always skipped (pHash.hpp:35-36), which is what makes the hash
+    invariant to global brightness shifts.
     """
     x = jnp.asarray(images, jnp.float32)
     coef = jnp.einsum("ij,bjk,lk->bil", _BASIS, x, _BASIS)       # [B,32,32]
     block = jax.lax.dynamic_slice(
-        coef, (0, cons, cons), (coef.shape[0], 8, 8))            # [B, 8, 8]
+        coef, (0, 1 + cons, 1 + cons), (coef.shape[0], 8, 8))    # [B, 8, 8]
     flat = block.reshape(-1, 64)
     mean = jnp.mean(flat, axis=-1, keepdims=True)
     bits = (flat > mean)

@@ -6,9 +6,25 @@ from cvt_tpu.match.solvers import (
     fit_affine, fit_homography_dlt, apply_affine, apply_homography)
 from cvt_tpu.match.ransac import ransac, RansacResult
 from cvt_tpu.match.vote_verify import vote_and_verify
+from cvt_tpu.match.epipolar import (
+    fit_fundamental_8pt, essential_from_fundamental, sampson_error,
+    ransac_fundamental)
+from cvt_tpu.match.pose import (
+    p3p, kabsch, fit_pnp_dlt, ransac_pnp, triangulate_dlt,
+    decompose_essential, pose_from_essential, solve_quartic)
+from cvt_tpu.match.cameras import (
+    world_to_image, image_to_world, calibration_matrix)
+from cvt_tpu.match.two_view import (
+    TwoViewGeometry, estimate_two_view_geometry, epipolar_inliers)
 
 __all__ = [
     "match_descriptors", "MatchResult", "svf_inliers",
     "fit_affine", "fit_homography_dlt", "apply_affine", "apply_homography",
     "ransac", "RansacResult", "vote_and_verify",
+    "fit_fundamental_8pt", "essential_from_fundamental", "sampson_error",
+    "ransac_fundamental",
+    "p3p", "kabsch", "fit_pnp_dlt", "ransac_pnp", "triangulate_dlt",
+    "decompose_essential", "pose_from_essential", "solve_quartic",
+    "world_to_image", "image_to_world", "calibration_matrix",
+    "TwoViewGeometry", "estimate_two_view_geometry", "epipolar_inliers",
 ]

@@ -1,0 +1,303 @@
+"""Absolute / relative pose estimation, fully batched.
+
+Reference: vlindex/src/estimators/ — absolute_pose.{h,cc} (P3PEstimator,
+EPNPEstimator), essential_matrix decomposition + chirality
+(PoseFromEssentialMatrix in base/pose.cc), triangulation.{h,cc}.
+
+TPU-native redesign: no Groebner/Ceres polynomial machinery —
+  * P3P uses Grunert's quartic solved in CLOSED FORM (Ferrari +
+    Cardano), elementwise ops only, so thousands of minimal problems
+    solve as one vectorized call; each problem emits its <=4 candidate
+    poses which simply become extra RANSAC hypotheses.
+  * PnP refit is a weighted 6+ point DLT (batched SVD) + nearest-
+    rotation projection — the LO step.
+  * Triangulation is the batched two-view DLT.
+All rotations are [..., 3, 3], translations [..., 3], with camera
+convention x_cam = R @ x_world + t.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+# --------------------------------------------------------------------------
+# closed-form polynomial roots (elementwise -> TPU-friendly)
+# --------------------------------------------------------------------------
+
+def _cardano_real_root(b, c, d):
+    """One real root of z^3 + b z^2 + c z + d, elementwise-batched."""
+    p = c - b * b / 3.0
+    q = 2.0 * b ** 3 / 27.0 - b * c / 3.0 + d
+    disc = (q / 2.0) ** 2 + (p / 3.0) ** 3
+    # disc > 0: one real root via cbrt; disc <= 0: three real, trig form
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u = jnp.cbrt(-q / 2.0 + sq)
+    v = jnp.cbrt(-q / 2.0 - sq)
+    root_pos = u + v
+    # trigonometric branch (p < 0 guaranteed when disc <= 0)
+    pm = jnp.minimum(p, -_EPS)
+    m = 2.0 * jnp.sqrt(-pm / 3.0)
+    arg = jnp.clip(3.0 * q / (pm * m), -1.0, 1.0)
+    root_tri = m * jnp.cos(jnp.arccos(arg) / 3.0)
+    return jnp.where(disc > 0, root_pos, root_tri) - b / 3.0
+
+
+def solve_quartic(c4, c3, c2, c1, c0):
+    """Real roots of c4 x^4 + ... + c0 (Ferrari). Returns (roots [..., 4],
+    valid [..., 4]) — invalid entries are NaN-free placeholders."""
+    c4s = jnp.where(jnp.abs(c4) < _EPS, _EPS, c4)
+    a, b, c, d = c3 / c4s, c2 / c4s, c1 / c4s, c0 / c4s
+    # depressed quartic y^4 + p y^2 + q y + r, x = y - a/4
+    p = b - 3.0 * a * a / 8.0
+    q = c - a * b / 2.0 + a ** 3 / 8.0
+    r = d - a * c / 4.0 + a * a * b / 16.0 - 3.0 * a ** 4 / 256.0
+    # resolvent cubic: z^3 + 2p z^2 + (p^2 - 4r) z - q^2 = 0, z = m^2 >= 0
+    z = _cardano_real_root(2.0 * p, p * p - 4.0 * r, -q * q)
+    z = jnp.maximum(z, 0.0)
+    m = jnp.sqrt(z)
+    safe_m = jnp.maximum(m, _EPS)
+    # y^4+py^2+qy+r = (y^2 + m y + (p+z)/2 - q/(2m)) (y^2 - m y + ...)
+    t1 = (p + z) / 2.0 - q / (2.0 * safe_m)
+    t2 = (p + z) / 2.0 + q / (2.0 * safe_m)
+    # quadratic y^2 + m y + t1 = 0 and y^2 - m y + t2 = 0
+    d1 = m * m - 4.0 * t1
+    d2 = m * m - 4.0 * t2
+    s1 = jnp.sqrt(jnp.maximum(d1, 0.0))
+    s2 = jnp.sqrt(jnp.maximum(d2, 0.0))
+    roots = jnp.stack([(-m + s1) / 2.0, (-m - s1) / 2.0,
+                       (m + s2) / 2.0, (m - s2) / 2.0], axis=-1)
+    valid = jnp.stack([d1 >= 0, d1 >= 0, d2 >= 0, d2 >= 0], axis=-1)
+    return roots - a[..., None] / 4.0, valid
+
+
+# --------------------------------------------------------------------------
+# rigid alignment (Kabsch/Umeyama) and PnP
+# --------------------------------------------------------------------------
+
+def kabsch(src: jax.Array, dst: jax.Array,
+           weights: jax.Array | None = None):
+    """Best R, t with dst ~= R @ src + t. src/dst [..., n, 3].
+
+    Batched SVD Kabsch with reflection fix (Umeyama's det sign).
+    """
+    if weights is None:
+        weights = jnp.ones(src.shape[:-1], src.dtype)
+    w = weights[..., None] / (
+        jnp.sum(weights, axis=-1)[..., None, None] + _EPS)
+    mu_s = jnp.sum(src * w, axis=-2, keepdims=True)
+    mu_d = jnp.sum(dst * w, axis=-2, keepdims=True)
+    cov = jnp.einsum("...ni,...nj->...ij", (dst - mu_d) * w, src - mu_s)
+    u, _, vt = jnp.linalg.svd(cov)
+    det = jnp.linalg.det(jnp.matmul(u, vt))
+    s = jnp.ones(cov.shape[:-2] + (3,), cov.dtype).at[..., 2].set(det)
+    r = jnp.einsum("...ij,...j,...jk->...ik", u, s, vt)
+    t = mu_d[..., 0, :] - jnp.einsum("...ij,...j->...i", r, mu_s[..., 0, :])
+    return r, t
+
+
+def p3p(world: jax.Array, bearings: jax.Array):
+    """Grunert P3P. world [..., 3, 3] points, bearings [..., 3, 3] UNIT
+    rays in the camera frame. Returns (R [..., 4, 3, 3], t [..., 4, 3],
+    valid [..., 4]) — up to 4 candidate poses per problem.
+    """
+    f1, f2, f3 = bearings[..., 0, :], bearings[..., 1, :], bearings[..., 2, :]
+    p1, p2, p3 = world[..., 0, :], world[..., 1, :], world[..., 2, :]
+    a2 = jnp.sum((p2 - p3) ** 2, -1)
+    b2 = jnp.sum((p1 - p3) ** 2, -1)
+    c2 = jnp.sum((p1 - p2) ** 2, -1)
+    b2s = jnp.maximum(b2, _EPS)
+    ca = jnp.sum(f2 * f3, -1)   # cos(alpha): angle opposite side a
+    cb = jnp.sum(f1 * f3, -1)
+    cg = jnp.sum(f1 * f2, -1)
+    A = (a2 - c2) / b2s
+    B = (a2 + c2) / b2s
+    C = (b2 - c2) / b2s
+    D = (b2 - a2) / b2s
+    c4 = (A - 1.0) ** 2 - 4.0 * (c2 / b2s) * ca * ca
+    c3 = 4.0 * (A * (1.0 - A) * cb - (1.0 - B) * ca * cg
+                + 2.0 * (c2 / b2s) * ca * ca * cb)
+    c2_ = 2.0 * (A * A - 1.0 + 2.0 * A * A * cb * cb + 2.0 * C * ca * ca
+                 - 4.0 * B * ca * cb * cg + 2.0 * D * cg * cg)
+    c1 = 4.0 * (-A * (1.0 + A) * cb + 2.0 * (a2 / b2s) * cg * cg * cb
+                - (1.0 - B) * ca * cg)
+    c0 = (1.0 + A) ** 2 - 4.0 * (a2 / b2s) * cg * cg
+    v, valid = solve_quartic(c4, c3, c2_, c1, c0)         # [..., 4]
+    valid &= v > _EPS
+
+    Ae = A[..., None]
+    cae, cbe, cge = ca[..., None], cb[..., None], cg[..., None]
+    den_u = 2.0 * (cge - v * cae)
+    u = ((-1.0 + Ae) * v * v - 2.0 * Ae * cbe * v + 1.0 + Ae) / jnp.where(
+        jnp.abs(den_u) < _EPS, _EPS, den_u)
+    valid &= u > _EPS
+    s1sq = b2s[..., None] / jnp.maximum(
+        1.0 + v * v - 2.0 * v * cbe, _EPS)
+    s1 = jnp.sqrt(s1sq)
+    s2 = u * s1
+    s3 = v * s1
+    # camera-frame points [..., 4, 3, 3]
+    cam = jnp.stack([s1[..., None] * f1[..., None, :],
+                     s2[..., None] * f2[..., None, :],
+                     s3[..., None] * f3[..., None, :]], axis=-2)
+    wrld = jnp.broadcast_to(world[..., None, :, :], cam.shape)
+    r, t = kabsch(wrld, cam)                               # world -> cam
+    return r, t, valid
+
+
+def fit_pnp_dlt(world: jax.Array, image: jax.Array,
+                weights: jax.Array | None = None):
+    """Weighted 6+ point DLT projection fit, decomposed to (R, t).
+
+    world [..., n, 3], image [..., n, 2] NORMALIZED camera coords.
+    The DLT minimizes algebraic error; R is recovered as the nearest
+    rotation (SVD) to the left 3x3 block — the LO-refit counterpart of
+    COLMAP's EPNPEstimator.
+    """
+    world = jnp.asarray(world, jnp.float32)
+    image = jnp.asarray(image, jnp.float32)
+    ones = jnp.ones(world.shape[:-1] + (1,), world.dtype)
+    xw = jnp.concatenate([world, ones], axis=-1)           # [..., n, 4]
+    x, y = image[..., 0:1], image[..., 1:2]
+    zero = jnp.zeros_like(xw)
+    r1 = jnp.concatenate([xw, zero, -x * xw], axis=-1)     # [..., n, 12]
+    r2 = jnp.concatenate([zero, xw, -y * xw], axis=-1)
+    a = jnp.concatenate([r1, r2], axis=-2)                 # [..., 2n, 12]
+    if weights is not None:
+        w2 = jnp.concatenate([weights, weights], axis=-1)[..., None]
+        a = a * w2
+    _, _, vt = jnp.linalg.svd(a, full_matrices=False)
+    p = vt[..., -1, :].reshape(world.shape[:-2] + (3, 4))
+    # sign: points should be in front (positive depth for the centroid)
+    ctr = jnp.concatenate([jnp.mean(world, -2),
+                           jnp.ones(world.shape[:-2] + (1,))], -1)
+    depth = jnp.einsum("...j,...j->...", p[..., 2, :], ctr)
+    p = p * jnp.where(depth < 0, -1.0, 1.0)[..., None, None]
+    m = p[..., :3]
+    scale = jnp.cbrt(jnp.abs(jnp.linalg.det(m)) + _EPS)
+    m = m / scale[..., None, None]
+    u, _, vtm = jnp.linalg.svd(m)
+    det = jnp.linalg.det(jnp.matmul(u, vtm))
+    s = jnp.ones(m.shape[:-2] + (3,), m.dtype).at[..., 2].set(det)
+    r = jnp.einsum("...ij,...j,...jk->...ik", u, s, vtm)
+    t = p[..., 3] / scale[..., None]
+    return r, t
+
+
+def project(r, t, world):
+    """x_cam = R X + t -> normalized image coords. world [..., n, 3]."""
+    cam = jnp.einsum("...ij,...nj->...ni", r, world) + t[..., None, :]
+    return cam[..., :2] / jnp.where(
+        jnp.abs(cam[..., 2:3]) < _EPS, _EPS, cam[..., 2:3]), cam[..., 2]
+
+
+def ransac_pnp(key, world, image, valid=None, *, threshold: float = 0.01,
+               n_hypotheses: int = 64, min_inliers: int = 6):
+    """Absolute-pose RANSAC: P3P minimal solves, all <=4S candidate poses
+    scored in parallel, then a weighted-DLT LO refit on the winner.
+
+    world [N, 3]; image [N, 2] normalized coords; threshold in normalized
+    units (~pixels/focal). Returns (R, t, inliers [N] bool, n_inliers).
+    """
+    world = jnp.asarray(world, jnp.float32)
+    image = jnp.asarray(image, jnp.float32)
+    n = world.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    g = jax.random.gumbel(key, (n_hypotheses, n)) + logits[None, :]
+    _, picks = jax.lax.top_k(g, 3)                         # [S, 3]
+    w3 = world[picks]                                      # [S, 3, 3]
+    i3 = image[picks]                                      # [S, 3, 2]
+    bear = jnp.concatenate([i3, jnp.ones(i3.shape[:-1] + (1,))], -1)
+    bear = bear / jnp.linalg.norm(bear, axis=-1, keepdims=True)
+    r, t, ok = p3p(w3, bear)                               # [S, 4, ...]
+    rs = r.reshape(-1, 3, 3)
+    ts = t.reshape(-1, 3)
+    oks = ok.reshape(-1)
+    proj, depth = project(rs, ts, jnp.broadcast_to(
+        world, (rs.shape[0], n, 3)))
+    res2 = jnp.sum((proj - image[None]) ** 2, axis=-1)
+    inl = (res2 < threshold * threshold) & (depth > 0) & valid[None, :]
+    support = jnp.where(oks, jnp.sum(inl, -1), -1)
+    best = jnp.argmax(support)
+    best_inl = inl[best]
+    # LO: weighted DLT on the winning inlier set, keep if support grows
+    r2_, t2_ = fit_pnp_dlt(world, image, best_inl.astype(jnp.float32))
+    proj2, depth2 = project(r2_, t2_, world)
+    rr2 = jnp.sum((proj2 - image) ** 2, axis=-1)
+    inl2 = (rr2 < threshold * threshold) & (depth2 > 0) & valid
+    better = jnp.sum(inl2) >= jnp.sum(best_inl)
+    r_out = jnp.where(better, r2_, rs[best])
+    t_out = jnp.where(better, t2_, ts[best])
+    inliers = jnp.where(better, inl2, best_inl)
+    return r_out, t_out, inliers, jnp.sum(inliers).astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# triangulation + essential decomposition (relative pose)
+# --------------------------------------------------------------------------
+
+def triangulate_dlt(r1, t1, r2, t2, x1, x2):
+    """Two-view linear triangulation. (r_i, t_i) world->cam poses;
+    x1/x2 [..., n, 2] normalized coords. Returns world points [..., n, 3].
+    """
+    p1 = jnp.concatenate([r1, t1[..., :, None]], axis=-1)  # [..., 3, 4]
+    p2 = jnp.concatenate([r2, t2[..., :, None]], axis=-1)
+
+    def rows(p, x):
+        # x [..., n, 2]; p [..., 3, 4] -> [..., n, 2, 4]
+        pe = p[..., None, :, :]
+        return jnp.stack([x[..., 0:1] * pe[..., 2, :] - pe[..., 0, :],
+                          x[..., 1:2] * pe[..., 2, :] - pe[..., 1, :]],
+                         axis=-2)
+
+    a = jnp.concatenate([rows(p1, x1), rows(p2, x2)], axis=-2)  # [...,n,4,4]
+    _, _, vt = jnp.linalg.svd(a)
+    xh = vt[..., -1, :]
+    return xh[..., :3] / jnp.where(
+        jnp.abs(xh[..., 3:]) < _EPS, _EPS, xh[..., 3:])
+
+
+def decompose_essential(e: jax.Array):
+    """E -> 4 candidate (R, t): (R1,t), (R1,-t), (R2,t), (R2,-t).
+    Returns (r [..., 4, 3, 3], t [..., 4, 3])."""
+    u, _, vt = jnp.linalg.svd(e)
+    # enforce proper rotations
+    u = u * jnp.linalg.det(u)[..., None, None]
+    vt = vt * jnp.linalg.det(vt)[..., None, None]
+    w = jnp.asarray([[0., -1., 0.], [1., 0., 0.], [0., 0., 1.]], e.dtype)
+    r1 = jnp.einsum("...ij,jk,...kl->...il", u, w, vt)
+    r2 = jnp.einsum("...ij,jk,...kl->...il", u, w.T, vt)
+    t = u[..., :, 2]
+    r = jnp.stack([r1, r1, r2, r2], axis=-3)
+    ts = jnp.stack([t, -t, t, -t], axis=-2)
+    return r, ts
+
+
+def pose_from_essential(e: jax.Array, x1: jax.Array, x2: jax.Array,
+                        valid: jax.Array | None = None):
+    """Pick the (R, t) among the 4 decompositions with the most points
+    passing the chirality test (positive depth in both views).
+
+    x1/x2 [n, 2] normalized coords. Returns (R, t, n_cheiral).
+    Reference semantics: base/pose.cc PoseFromEssentialMatrix.
+    """
+    if valid is None:
+        valid = jnp.ones(x1.shape[:-1], bool)
+    r4, t4 = decompose_essential(e)                        # [4,3,3], [4,3]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=e.dtype), r4.shape)
+    zero = jnp.zeros_like(t4)
+    pts = triangulate_dlt(eye, zero, r4, t4,
+                          jnp.broadcast_to(x1, (4,) + x1.shape),
+                          jnp.broadcast_to(x2, (4,) + x2.shape))
+    z1 = pts[..., 2]
+    cam2 = jnp.einsum("...ij,...nj->...ni", r4, pts) + t4[..., None, :]
+    z2 = cam2[..., 2]
+    good = (z1 > 0) & (z2 > 0) & valid[None, :]
+    counts = jnp.sum(good, axis=-1)
+    best = jnp.argmax(counts)
+    return r4[best], t4[best], counts[best]

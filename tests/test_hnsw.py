@@ -1,0 +1,86 @@
+"""Native HNSW graph index: recall vs exact scan, persistence.
+
+Mirrors the reference's recall harness pattern
+(hnsw_sifts_retrieval/makeIdx.cpp:231-285 test_approx/test_vs_recall):
+build on synthetic data, query, compare against brute-force ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from cvt_tpu.native import available
+
+pytestmark = pytest.mark.skipif(
+    not available("hnsw"), reason="native toolchain unavailable")
+
+
+@pytest.fixture(scope="module")
+def small_db():
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(2000, 32)).astype(np.float32)
+    queries = rng.normal(size=(50, 32)).astype(np.float32)
+    return base, queries
+
+
+def _exact_l2(base, queries, k):
+    d = ((queries[:, None, :] - base[None, :, :]) ** 2).sum(-1)
+    return np.argsort(d, axis=1)[:, :k]
+
+
+def test_recall_l2(small_db):
+    from cvt_tpu.index.hnsw import HnswIndex
+    base, queries = small_db
+    idx = HnswIndex(32, metric="l2", capacity=len(base), m=16,
+                    ef_construction=100, seed=0)
+    idx.add(base)
+    assert len(idx) == len(base)
+    dists, labels = idx.search(queries, k=10, ef=100)
+    gt = _exact_l2(base, queries, 10)
+    hits = sum(labels[i, 0] == gt[i, 0] for i in range(len(queries)))
+    assert hits / len(queries) >= 0.95
+    # distances ascend and match the actual L2
+    assert np.all(np.diff(dists, axis=1) >= -1e-4)
+    d0 = ((queries - base[labels[:, 0]]) ** 2).sum(-1)
+    np.testing.assert_allclose(dists[:, 0], d0, rtol=1e-4)
+
+
+def test_recall_ip_normalized(small_db):
+    from cvt_tpu.index.hnsw import HnswIndex
+    base, queries = small_db
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    idx = HnswIndex(32, metric="ip", capacity=len(bn), m=16,
+                    ef_construction=100)
+    idx.add(bn)
+    _, labels = idx.search(qn, k=5, ef=80)
+    gt = np.argmax(qn @ bn.T, axis=1)
+    hits = (labels[:, 0] == gt).mean()
+    assert hits >= 0.95
+
+
+def test_save_load_roundtrip(tmp_path, small_db):
+    from cvt_tpu.index.hnsw import HnswIndex
+    base, queries = small_db
+    idx = HnswIndex(32, capacity=len(base), m=8, ef_construction=60, seed=3)
+    idx.add(base, labels=np.arange(1000, 1000 + len(base)))
+    d1, l1 = idx.search(queries, k=5, ef=60)
+    p = str(tmp_path / "graph.hnsw")
+    idx.save(p)
+    idx2 = HnswIndex.load(p)
+    assert len(idx2) == len(base) and idx2.dim == 32
+    d2, l2 = idx2.search(queries, k=5, ef=60)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_allclose(d1, d2)
+    assert l1.min() >= 1000  # custom labels preserved
+
+
+def test_incremental_and_small_k(small_db):
+    from cvt_tpu.index.hnsw import HnswIndex
+    base, _ = small_db
+    idx = HnswIndex(32, capacity=100, m=8, ef_construction=40)
+    idx.add(base[:3])
+    d, lab = idx.search(base[0], k=10, ef=20)
+    assert lab.shape == (1, 10)
+    assert lab[0, 0] == 0 and d[0, 0] < 1e-5      # self-query hits itself
+    assert np.all(lab[0, 3:] == -1)               # padded slots
+    assert np.all(np.isinf(d[0, 3:]))
