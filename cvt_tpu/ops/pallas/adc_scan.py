@@ -78,9 +78,14 @@ def _adc_segmin_kernel(codes_ref, cbt_ref, q2_ref, segmin_ref, segarg_ref,
                     codes_ref[g * gi + j, sub * t:(sub + 1) * t]
                     .reshape(1, t), sel)
             onehot = (sel == target).astype(jnp.bfloat16)
+            # precision pinned to DEFAULT: bf16 x bf16 -> f32 is the native
+            # MXU mode; a global jax_default_matmul_precision=highest would
+            # otherwise inject contract_precision=fp32, which Mosaic
+            # rejects for bf16 operands ("Bad lhs type")
             dec_g = jax.lax.dot_general(
                 cbt_ref[gi], onehot,
                 dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
                 preferred_element_type=jnp.float32)
             dect_ref[gi * gds:(gi + 1) * gds, :] = dec_g.astype(jnp.bfloat16)
 
@@ -88,6 +93,7 @@ def _adc_segmin_kernel(codes_ref, cbt_ref, q2_ref, segmin_ref, segarg_ref,
         ip = jax.lax.dot_general(
             dec, q2_ref[:, :],
             dimension_numbers=(((0,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32)                  # [T, B]
         # ||dec||^2 as a [T, 1] column via a 1-wide MXU matmul (keeps the
         # whole pipeline in [T, B] orientation, no transposes)
@@ -95,6 +101,7 @@ def _adc_segmin_kernel(codes_ref, cbt_ref, q2_ref, segmin_ref, segarg_ref,
         norm = jax.lax.dot_general(
             dec32 * dec32, jnp.ones((1, dec.shape[0]), jnp.float32),
             dimension_numbers=(((0,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)                  # [T, 1]
         dist = ip + norm
         base = (i * n_super + sub) * t

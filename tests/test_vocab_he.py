@@ -60,5 +60,5 @@ def test_signatures_are_64_bits(vocab_setup, rng):
     sigs = np.asarray(sigs)
     assert sigs.shape == (16, 2) and sigs.dtype == np.uint32
     # bits should be roughly balanced around the per-word thresholds
-    bits = np.unpackbits(sigs.view(np.uint8), axis=-1)
+    bits = np.unpackbits(np.ascontiguousarray(sigs).view(np.uint8), axis=-1)
     assert 0.2 < bits.mean() < 0.8
