@@ -40,7 +40,7 @@ class VideoObjectMatcher:
                  frame_stride: int = 1,
                  target_size: tuple[int, int] | None = None,
                  min_inliers: int = 10, **matcher_kwargs):
-        matcher_kwargs.setdefault("min_inliers", min_inliers)
+        matcher_kwargs.setdefault("min_matches", min_inliers)
         self.matcher = TemplateMatcher(template_image, **matcher_kwargs)
         self.batch_size = batch_size
         self.frame_stride = frame_stride

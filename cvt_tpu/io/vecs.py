@@ -70,12 +70,49 @@ def write_ivecs(path: str, x: np.ndarray) -> None:
     _write_vecs(path, x, "<i4")
 
 
+def _read_cvt_records_native(path: str):
+    """One-pass C++ reader (native/vecs_io.cc); returns None when the
+    native library can't be built or the stream needs the slow path."""
+    import ctypes
+    try:
+        from cvt_tpu.native import load_library
+        lib = load_library("vecs_io")
+    except Exception:
+        return None
+    i64 = ctypes.c_int64
+    lib.cvt_records_scan.restype = i64
+    lib.cvt_records_read.restype = i64
+    n, d, idb = i64(), i64(), i64()
+    p = path.encode()
+    if lib.cvt_records_scan(p, ctypes.byref(n), ctypes.byref(d),
+                            ctypes.byref(idb)) != 0 or d.value < 0:
+        return None
+    feats = np.empty((n.value, d.value), "<f4")
+    ids_buf = np.empty(idb.value, np.uint8)
+    offs = np.empty(n.value + 1, np.int64)
+    if lib.cvt_records_read(
+            p, i64(n.value), i64(d.value),
+            feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ids_buf.ctypes.data_as(ctypes.c_char_p),
+            offs.ctypes.data_as(ctypes.POINTER(i64))) != 0:
+        return None
+    raw = ids_buf.tobytes()
+    ids = [raw[offs[i]:offs[i + 1]].split(b"\x00")[0].decode("utf-8")
+           for i in range(n.value)]
+    return ids, feats
+
+
 def read_cvt_records(path: str):
     """Read cvt's [n][idlen,id,d,float[d]]* stream -> (ids, feats).
 
     ids: list[str], feats: float32 [N, D]. Mirrors the loop in
-    brute_force_search/src/brute_force.cpp:37-61.
+    brute_force_search/src/brute_force.cpp:37-61. Uses the native
+    one-pass reader (native/vecs_io.cc) when available; falls back to
+    the pure-Python loop.
     """
+    out = _read_cvt_records_native(path)
+    if out is not None:
+        return out
     ids: list[str] = []
     feats: list[np.ndarray] = []
     with open(path, "rb") as f:

@@ -4,7 +4,7 @@ from cvt_tpu.match.nn import match_descriptors, MatchResult
 from cvt_tpu.match.svf import svf_inliers
 from cvt_tpu.match.solvers import (
     fit_affine, fit_homography_dlt, apply_affine, apply_homography)
-from cvt_tpu.match.ransac import ransac, RansacResult
+from cvt_tpu.match.ransac import ransac, ransac_preemptive, RansacResult
 from cvt_tpu.match.vote_verify import vote_and_verify
 from cvt_tpu.match.epipolar import (
     fit_fundamental_8pt, essential_from_fundamental, sampson_error,
@@ -16,15 +16,21 @@ from cvt_tpu.match.cameras import (
     world_to_image, image_to_world, calibration_matrix)
 from cvt_tpu.match.two_view import (
     TwoViewGeometry, estimate_two_view_geometry, epipolar_inliers)
+from cvt_tpu.match.reconstruction import (
+    CorrespondenceGraph, Reconstruction, Point3D, triangulate_tracks,
+    reprojection_errors)
+from cvt_tpu.match import gps
 
 __all__ = [
     "match_descriptors", "MatchResult", "svf_inliers",
     "fit_affine", "fit_homography_dlt", "apply_affine", "apply_homography",
-    "ransac", "RansacResult", "vote_and_verify",
+    "ransac", "ransac_preemptive", "RansacResult", "vote_and_verify",
     "fit_fundamental_8pt", "essential_from_fundamental", "sampson_error",
     "ransac_fundamental",
     "p3p", "kabsch", "fit_pnp_dlt", "ransac_pnp", "triangulate_dlt",
     "decompose_essential", "pose_from_essential", "solve_quartic",
     "world_to_image", "image_to_world", "calibration_matrix",
     "TwoViewGeometry", "estimate_two_view_geometry", "epipolar_inliers",
+    "CorrespondenceGraph", "Reconstruction", "Point3D",
+    "triangulate_tracks", "reprojection_errors", "gps",
 ]

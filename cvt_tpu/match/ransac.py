@@ -77,22 +77,97 @@ def ransac(key, src, dst, valid=None, *, model: str = "affine",
     best_model = models[best]
     best_inl = inl[best]
 
-    # ---- local optimization (affine): weighted refit on inliers --------
-    # (homography LO would need an inlier-weighted DLT; deferred — the
-    # batched hypothesis count already substitutes for most of LO's gain)
+    # ---- local optimization: weighted refit on inliers -----------------
+    # (LORANSAC's inner refit, loransac.h:54; homography uses the
+    # inlier-weighted DLT)
+    refit = (fit_affine if model == "affine"
+             else fit_homography_dlt)
+
     def lo_step(carry, _):
         mdl, inl_mask = carry
         w = inl_mask.astype(jnp.float32)
-        mdl2 = fit_affine(src, dst, w)
+        mdl2 = refit(src, dst, w)
         proj2 = spec["apply"](mdl2, src)
         r2 = jnp.sum((proj2 - dst) ** 2, axis=-1)
         new_inl = (r2 < t2) & valid
-        better = jnp.sum(new_inl) >= jnp.sum(inl_mask)
+        better = ((jnp.sum(new_inl) >= jnp.sum(inl_mask))
+                  & jnp.all(jnp.isfinite(mdl2)))
         mdl = jnp.where(better, mdl2, mdl)
         inl_mask = jnp.where(better, new_inl, inl_mask)
         return (mdl, inl_mask), None
 
-    if model == "affine" and lo_iters > 0:
+    if lo_iters > 0:
+        (best_model, best_inl), _ = jax.lax.scan(
+            lo_step, (best_model, best_inl), None, length=lo_iters)
+
+    n_inl = jnp.sum(best_inl)
+    return RansacResult(model=best_model, inliers=best_inl,
+                        n_inliers=n_inl.astype(jnp.int32),
+                        success=n_inl >= min_inliers)
+
+
+@partial(jax.jit, static_argnames=("model", "n_hypotheses", "n_survivors",
+                                   "n_probe", "lo_iters", "min_inliers"))
+def ransac_preemptive(key, src, dst, valid=None, *, model: str = "affine",
+                      threshold: float = 4.0, n_hypotheses: int = 1024,
+                      n_survivors: int = 64, n_probe: int = 32,
+                      lo_iters: int = 2,
+                      min_inliers: int = 6) -> RansacResult:
+    """Two-stage preemptive RANSAC — the TPU analogue of SPRT
+    (optim/sprt.h:45): instead of sequentially abandoning bad hypotheses
+    by a probability-ratio test, ALL hypotheses are scored on a random
+    n_probe-point subsample (cheap [S, n_probe] pass), the n_survivors
+    best advance to full [S', N] scoring. Same compute-saving role, fixed
+    shapes, one extra matmul-shaped pass instead of a data-dependent loop.
+    """
+    spec = _MODELS[model]
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    n = src.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    mn = spec["min_n"]
+    t2 = threshold * threshold
+    k_sample, k_probe = jax.random.split(key)
+
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    g = jax.random.gumbel(k_sample, (n_hypotheses, n)) + logits[None, :]
+    _, picks = jax.lax.top_k(g, mn)
+    models = spec["fit"](src[picks], dst[picks])             # [S, ...]
+    finite = jnp.all(jnp.isfinite(models.reshape(n_hypotheses, -1)), -1)
+
+    # stage 1: probe on a shared random subset of valid observations
+    gp = jax.random.gumbel(k_probe, (n,)) + logits
+    _, probe = jax.lax.top_k(gp, min(n_probe, n))            # [P]
+    proj_p = spec["apply"](models, jnp.broadcast_to(
+        src[probe], (n_hypotheses,) + src[probe].shape))
+    res_p = jnp.sum((proj_p - dst[probe][None]) ** 2, -1)
+    sup_p = jnp.sum((res_p < t2) & valid[probe][None], -1)
+    sup_p = jnp.where(finite, sup_p, -1)
+    _, keep = jax.lax.top_k(sup_p, min(n_survivors, n_hypotheses))
+
+    # stage 2: full scoring of the survivors only
+    mk = models[keep]
+    proj = spec["apply"](mk, jnp.broadcast_to(src, (keep.shape[0], n, 2)))
+    res2 = jnp.sum((proj - dst[None]) ** 2, axis=-1)
+    inl = (res2 < t2) & valid[None, :]
+    support = jnp.where(finite[keep], jnp.sum(inl, -1), -1)
+    best = jnp.argmax(support)
+    best_model, best_inl = mk[best], inl[best]
+
+    refit = fit_affine if model == "affine" else fit_homography_dlt
+
+    def lo_step(carry, _):
+        mdl, inl_mask = carry
+        mdl2 = refit(src, dst, inl_mask.astype(jnp.float32))
+        r2 = jnp.sum((spec["apply"](mdl2, src) - dst) ** 2, axis=-1)
+        new_inl = (r2 < t2) & valid
+        better = ((jnp.sum(new_inl) >= jnp.sum(inl_mask))
+                  & jnp.all(jnp.isfinite(mdl2)))
+        return (jnp.where(better, mdl2, mdl),
+                jnp.where(better, new_inl, inl_mask)), None
+
+    if lo_iters > 0:
         (best_model, best_inl), _ = jax.lax.scan(
             lo_step, (best_model, best_inl), None, length=lo_iters)
 

@@ -44,11 +44,23 @@ def apply_affine(a: jax.Array, pts: jax.Array) -> jax.Array:
             + a[..., None, :, 2])
 
 
-def _hartley_normalize(pts):
-    """Similarity transform T s.t. T(pts) has zero mean, sqrt(2) RMS."""
-    mean = jnp.mean(pts, axis=-2, keepdims=True)
-    d = jnp.sqrt(jnp.sum((pts - mean) ** 2, axis=-1))
-    scale = jnp.sqrt(2.0) / (jnp.mean(d, axis=-1, keepdims=True) + 1e-12)
+def _hartley_normalize(pts, weights=None):
+    """Similarity transform T s.t. T(pts) has zero mean, sqrt(2) RMS.
+
+    With `weights` [..., n], the mean/scale are weighted (zero-weight
+    points do not influence the conditioning transform)."""
+    if weights is None:
+        mean = jnp.mean(pts, axis=-2, keepdims=True)
+        d = jnp.sqrt(jnp.sum((pts - mean) ** 2, axis=-1))
+        scale = jnp.sqrt(2.0) / (jnp.mean(d, axis=-1, keepdims=True) + 1e-12)
+    else:
+        w = weights[..., None]
+        wsum = jnp.maximum(jnp.sum(w, axis=-2, keepdims=True), 1e-12)
+        mean = jnp.sum(pts * w, axis=-2, keepdims=True) / wsum
+        d = jnp.sqrt(jnp.sum((pts - mean) ** 2, axis=-1))
+        scale = jnp.sqrt(2.0) / (
+            jnp.sum(d * weights, axis=-1, keepdims=True)
+            / wsum[..., 0] + 1e-12)
     s = scale[..., None]
     t = jnp.zeros(pts.shape[:-2] + (3, 3), pts.dtype)
     t = t.at[..., 0, 0].set(scale[..., 0]).at[..., 1, 1].set(scale[..., 0])
@@ -58,16 +70,19 @@ def _hartley_normalize(pts):
     return (pts - mean) * s, t
 
 
-def fit_homography_dlt(src: jax.Array, dst: jax.Array) -> jax.Array:
+def fit_homography_dlt(src: jax.Array, dst: jax.Array,
+                       weights: jax.Array | None = None) -> jax.Array:
     """Normalized 4+-point DLT homography H (3x3, h22=1-ish).
 
     src/dst [..., n, 2] (n >= 4). Batched SVD of the 2n x 9 system with
     Hartley normalization (geo_verification.hpp:117-160 semantics).
+    Optional `weights` [..., n] give a weighted least-squares fit
+    (rows scaled by sqrt(w)) for LO-RANSAC inlier refits.
     """
     src = jnp.asarray(src, jnp.float32)
     dst = jnp.asarray(dst, jnp.float32)
-    sn, t1 = _hartley_normalize(src)
-    dn, t2 = _hartley_normalize(dst)
+    sn, t1 = _hartley_normalize(src, weights)
+    dn, t2 = _hartley_normalize(dst, weights)
     x, y = sn[..., 0], sn[..., 1]
     u, v = dn[..., 0], dn[..., 1]
     zero = jnp.zeros_like(x)
@@ -76,6 +91,10 @@ def fit_homography_dlt(src: jax.Array, dst: jax.Array) -> jax.Array:
                    axis=-1)
     r2 = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v],
                    axis=-1)
+    if weights is not None:
+        sw = jnp.sqrt(jnp.asarray(weights, jnp.float32))[..., None]
+        r1 = r1 * sw
+        r2 = r2 * sw
     a = jnp.concatenate([r1, r2], axis=-2)               # [..., 2n, 9]
     _, _, vt = jnp.linalg.svd(a, full_matrices=True)
     h = vt[..., -1, :].reshape(src.shape[:-2] + (3, 3))

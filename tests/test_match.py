@@ -84,6 +84,28 @@ def test_ransac_homography(rng):
     assert inl[40:].mean() < 0.15
 
 
+def test_ransac_preemptive_matches_full(rng):
+    from cvt_tpu.match.ransac import ransac_preemptive
+    src, dst, a = _correspondences(rng)
+    res = ransac_preemptive(jax.random.key(3), src, dst, model="affine",
+                            threshold=4.0, n_hypotheses=512,
+                            n_survivors=32, n_probe=24)
+    inl = np.asarray(res.inliers)
+    assert bool(res.success)
+    assert inl[:40].mean() > 0.9 and inl[40:].mean() < 0.1
+    np.testing.assert_allclose(np.asarray(res.model), a, atol=0.5)
+
+
+def test_ransac_preemptive_homography(rng):
+    from cvt_tpu.match.ransac import ransac_preemptive
+    src, dst, _ = _correspondences(rng)
+    res = ransac_preemptive(jax.random.key(4), src, dst,
+                            model="homography", threshold=4.0,
+                            n_hypotheses=512, n_survivors=64, n_probe=24)
+    inl = np.asarray(res.inliers)
+    assert inl[:40].mean() > 0.8 and inl[40:].mean() < 0.15
+
+
 def test_ransac_with_valid_mask(rng):
     src, dst, _ = _correspondences(rng, n_inl=30, n_out=10)
     valid = np.ones(40, bool)

@@ -66,6 +66,14 @@ def test_solve_quartic_batched_pair_complex():
     ("simple_radial", [500., 320., 240., 0.08]),
     ("radial", [500., 320., 240., 0.05, -0.01]),
     ("opencv", [500., 510., 320., 240., 0.05, -0.01, 1e-3, -5e-4]),
+    ("full_opencv", [500., 510., 320., 240., 0.05, -0.01, 1e-3, -5e-4,
+                     1e-3, 0.01, -2e-3, 5e-4]),
+    ("opencv_fisheye", [500., 510., 320., 240., 0.03, -0.005, 1e-3, -5e-4]),
+    ("fov", [500., 510., 320., 240., 0.9]),
+    ("simple_radial_fisheye", [500., 320., 240., 0.04]),
+    ("radial_fisheye", [500., 320., 240., 0.03, -0.008]),
+    ("thin_prism_fisheye", [500., 510., 320., 240., 0.03, -0.005, 1e-3,
+                            -5e-4, 1e-4, -1e-4, 5e-4, -2e-4]),
 ])
 def test_camera_roundtrip(model, params):
     rng = np.random.default_rng(0)
