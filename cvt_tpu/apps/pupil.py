@@ -78,9 +78,11 @@ def coarse_pupil_center(images: jax.Array,
         yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
         yy = yy.reshape(-1)
         xx = xx.reshape(-1)
-        inner = _box_mean(ii, yy[None] + r2 - r, xx[None] + r2 - r,
+        # 1-D position vectors: ii[:, (P,), (P,)] broadcasts to [B, P]
+        # (a [1, P] operand would make it [B, 1, P] and break the argmax)
+        inner = _box_mean(ii, yy + r2 - r, xx + r2 - r,
                           2 * r, 2 * r)                      # [B, P]
-        outer = _box_mean(ii, yy[None], xx[None], 2 * r2, 2 * r2)
+        outer = _box_mean(ii, yy, xx, 2 * r2, 2 * r2)
         resp = outer - inner       # bright surround minus dark center
         i = jnp.argmax(resp, axis=1)
         v = jnp.take_along_axis(resp, i[:, None], axis=1)[:, 0]

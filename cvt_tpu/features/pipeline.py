@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from dataclasses import dataclass
 from typing import Callable, Iterable, Optional
 
@@ -80,8 +81,6 @@ class FeatureExtractionPipeline:
         jobs: "queue.Queue" = queue.Queue()
         loaded: "queue.Queue" = queue.Queue(maxsize=self.queue_capacity
                                             * self.batch_size)
-        results: "queue.Queue" = queue.Queue(maxsize=self.queue_capacity)
-        stop = object()
 
         # register images + incremental skip (matching.cc:829-836 pattern)
         todo = []
@@ -116,24 +115,25 @@ class FeatureExtractionPipeline:
         for t in readers:
             t.start()
 
-        # ---- stage 3: writer (drain device -> sqlite) --------------------
-        def writer():
-            while True:
-                item = results.get()
-                if item is stop:
-                    return
-                ids, feats = item
-                kp = np.asarray(feats.frames)       # [B, K, 4]
-                desc = np.asarray(feats.descriptors)
-                valid = np.asarray(feats.valid)
-                for bi, image_id in enumerate(ids):
-                    n = int(valid[bi].sum())
-                    self.db.write_keypoints(image_id, kp[bi, :n])
-                    self.db.write_descriptors(image_id, desc[bi, :n])
-                self.db.commit()
+        # ---- stage 3: writer (drain device -> sqlite, MAIN thread) -------
+        # SQLite connections are bound to their creating thread
+        # (database.h:51-52 documents the same single-thread constraint);
+        # instead of a writer thread, completed device batches sit in an
+        # in-flight deque. JAX dispatch is async, so the device computes
+        # batch i+1 while the main thread converts + writes batch i —
+        # same overlap as COLMAP's FeatureWriterThread without crossing
+        # the connection between threads.
+        inflight: deque = deque()
 
-        wt = threading.Thread(target=writer, daemon=True)
-        wt.start()
+        def write_result(ids, feats):
+            kp = np.asarray(feats.frames)       # [B, K, 4]
+            desc = np.asarray(feats.descriptors)
+            valid = np.asarray(feats.valid)
+            for bi, image_id in enumerate(ids):
+                n = int(valid[bi].sum())
+                self.db.write_keypoints(image_id, kp[bi, :n])
+                self.db.write_descriptors(image_id, desc[bi, :n])
+            self.db.commit()
 
         # ---- stage 2: batch assembler + device extraction ----------------
         pend_ids: list[int] = []
@@ -147,7 +147,9 @@ class FeatureExtractionPipeline:
             pend_ids.clear()
             pend_imgs.clear()
             feats = self.extract_fn(batch)     # async dispatch on device
-            results.put((ids, feats))
+            inflight.append((ids, feats))
+            while len(inflight) > self.queue_capacity:
+                write_result(*inflight.popleft())
 
         received = 0
         while received < n_jobs:
@@ -163,8 +165,8 @@ class FeatureExtractionPipeline:
                 flush()
         flush()
 
-        results.put(stop)
-        wt.join()
+        while inflight:
+            write_result(*inflight.popleft())
         for t in readers:
             t.join()
         return stats

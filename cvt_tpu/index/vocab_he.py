@@ -6,22 +6,35 @@ Reference: retrieval/vlindex/src/retrieval/ — `VisualIndex<uint8_t,128,64>`
 (inverted_index.h:174-183, inverted_file.h:276-292), `Query` scoring with
 exp(-h^2/sigma^2) weights x idf^2 and burstiness /sqrt(votes)
 (inverted_file.h:295-353, utils.h:52-83), self-similarity normalization
-(inverted_index.h:238-288). Papers: Schoenberger et al. ACCV'16,
-Arandjelovic-Zisserman ACCV'14 (cited at visual_index.h:51-58).
+(inverted_index.h:238-288), and query-time spatial verification:
+per-feature Hamming matching -> 1-to-1 match selection (two Fibonacci
+heaps, visual_index.h:376-479) -> VoteAndVerify re-ranking (:481-501).
+Papers: Schoenberger et al. ACCV'16, Arandjelovic-Zisserman ACCV'14
+(cited at visual_index.h:51-58).
 
 TPU-native redesign:
-  * vocabulary = flat batched k-means (one MXU matmul per Lloyd step)
-    instead of FLANN's hierarchical tree — word assignment of a
-    descriptor batch is a single [Kq, D] x [D, W] matmul + argmin;
+  * vocabulary = batched k-means (one MXU matmul per Lloyd step); for
+    large vocabularies use a hierarchical two-level quantizer
+    (cvt_tpu.ops.kmeans.hierarchical_kmeans) replacing FLANN's tree —
+    word assignment is two small matmuls instead of one huge one;
   * the 64-bit signature lives as 2 x uint32 words; Hamming matching is
     XOR + popcount on the VPU;
-  * inverted files are PADDED DENSE BUCKETS [W, L] (image id + signature
-    + burstiness weight), so a query feature's word lookup is a static
-    gather and the whole query batch scores in one vectorized pass with
-    a scatter-add into the image-score vector;
-  * per-word HE thresholds use the per-word MEAN of projected training
-    descriptors (the reference uses the median, inverted_file.h:276-292;
-    mean is a deliberate batched approximation — noted for parity).
+  * per-word HE thresholds are per-word MEDIANS of the projected
+    training descriptors, matching inverted_file.h:276-292;
+  * inverted files are PADDED DENSE BUCKETS [W, L] (image id, feature
+    id, signature, burstiness weight, 4-f geometry); a query feature's
+    word lookup is a static gather and the whole query batch scores in
+    one vectorized pass with a scatter-add into the image-score vector.
+    Entries beyond a word's bucket capacity go to an OVERFLOW TAIL that
+    is scored exactly in a second vectorized pass — nothing is dropped;
+  * idf uses the smoothed form log((N+1)/(n_w+0.5)) instead of the
+    reference's log(N/n_w) (inverted_file.h:258-268): identical ordering
+    and asymptotics, but never exactly 0, so scoring stays alive on tiny
+    corpora where every word occurs in every image;
+  * query-time verification is fully batched: candidate images are
+    verified in one vmapped pass (word-equality + Hamming match ->
+    best-match 1-to-1 dedup -> vote_and_verify Hough + affine refit),
+    replacing the per-image Fibonacci-heap loop.
 """
 
 from __future__ import annotations
@@ -32,6 +45,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from cvt_tpu.match.vote_verify import vote_and_verify
 from cvt_tpu.ops.kmeans import kmeans, kmeans_assign
 
 HE_BITS = 64
@@ -55,23 +69,81 @@ def _hamming(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
 
 
+def _he_weight(h: jax.Array) -> jax.Array:
+    """exp(-h^2/sigma^2), zeroed beyond HE_MAX_DIST (utils.h:52-83)."""
+    w = jnp.exp(-(h.astype(jnp.float32) ** 2) / (HE_SIGMA ** 2))
+    return jnp.where(h <= HE_MAX_DIST, w, 0.0)
+
+
 @partial(jax.jit, static_argnames=("n_images",))
 def _score_query(q_words, q_sigs, q_valid, buckets_img, buckets_sig,
-                 buckets_burst, idf, n_images):
-    """q_words [Kq]; q_sigs [Kq, 2]; buckets_* [W, L, ...].
+                 buckets_burst, tail_word, tail_img, tail_sig, tail_burst,
+                 idf, n_images):
+    """q_words [Kq]; q_sigs [Kq, 2]; buckets_* [W, L, ...]; tail_* [T, ...].
 
-    Returns unnormalized image scores [n_images]."""
+    Returns unnormalized image scores [n_images]. The tail pass scores
+    bucket-overflow entries exactly (word-equality gather replaced by a
+    dense [Kq, T] word-equality mask)."""
     b_img = buckets_img[q_words]                  # [Kq, L]
     b_sig = buckets_sig[q_words]                  # [Kq, L, 2]
     b_burst = buckets_burst[q_words]              # [Kq, L]
     h = _hamming(q_sigs[:, None, :], b_sig)       # [Kq, L]
-    w = jnp.exp(-(h.astype(jnp.float32) ** 2) / (HE_SIGMA ** 2))
-    w = jnp.where(h <= HE_MAX_DIST, w, 0.0)
+    w = _he_weight(h)
     w = w * (idf[q_words] ** 2)[:, None] * b_burst
     w = jnp.where((b_img >= 0) & q_valid[:, None], w, 0.0)
     flat_img = jnp.where(b_img >= 0, b_img, 0).reshape(-1)
-    return jnp.zeros((n_images,), jnp.float32).at[flat_img].add(
+    scores = jnp.zeros((n_images,), jnp.float32).at[flat_img].add(
         w.reshape(-1))
+
+    # exact overflow-tail pass (empty tail = no-op of static shape [Kq, 1])
+    th = _hamming(q_sigs[:, None, :], tail_sig[None, :, :])   # [Kq, T]
+    tw = _he_weight(th)
+    tw = tw * (idf[q_words] ** 2)[:, None] * tail_burst[None, :]
+    same_word = q_words[:, None] == tail_word[None, :]
+    tw = jnp.where(same_word & (tail_img[None, :] >= 0)
+                   & q_valid[:, None], tw, 0.0)
+    t_img = jnp.where(tail_img >= 0, tail_img, 0)
+    return scores.at[jnp.broadcast_to(t_img[None, :], tw.shape)
+                     .reshape(-1)].add(tw.reshape(-1))
+
+
+@partial(jax.jit, static_argnames=("image_extent",))
+def _verify_candidates(q_words, q_sigs, q_valid, q_geom,
+                       c_words, c_sigs, c_valid, c_geom, idf,
+                       image_extent):
+    """Spatially verify a query against C candidate images.
+
+    q_* : [Kq, ...] query features; c_* : [C, Ki, ...] candidate entries
+    (padded). Implements visual_index.h:260-501 semantics batched:
+    word-equality + Hamming<=24 matching, weight = exp(-h^2/s^2)*idf^2,
+    1-to-1 selection by best-match dedup (the batched stand-in for the
+    two-Fibonacci-heap greedy), then vote_and_verify. Returns [C]
+    verification scores (effective inlier counts)."""
+
+    def one(cw, cs, cv, cg):
+        same = q_words[:, None] == cw[None, :]                 # [Kq, Ki]
+        h = _hamming(q_sigs[:, None, :], cs[None, :, :])
+        wm = _he_weight(h) * (idf[q_words] ** 2)[:, None]
+        wm = jnp.where(same & q_valid[:, None] & cv[None, :], wm, 0.0)
+        # 1-to-1: each query feature picks its best db feature ...
+        best_j = jnp.argmax(wm, axis=1)                        # [Kq]
+        best_w = jnp.max(wm, axis=1)                           # [Kq]
+        # ... and each db feature keeps only the best query claiming it
+        claim = jnp.zeros((cw.shape[0],), jnp.float32).at[best_j].max(
+            best_w)
+        keep = (best_w > 0.0) & (best_w >= claim[best_j])
+        # break residual ties (two queries with equal weight): keep the
+        # first by index
+        qi = jnp.arange(q_words.shape[0], dtype=jnp.int32)
+        first = jnp.full((cw.shape[0],), 2 ** 30, jnp.int32).at[
+            best_j].min(jnp.where(keep, qi, jnp.int32(2 ** 30)))
+        keep = keep & (first[best_j] == qi)
+        g2 = cg[best_j]                                        # [Kq, 4]
+        res = vote_and_verify(q_geom, g2, keep,
+                              image_extent=image_extent)
+        return res.score
+
+    return jax.vmap(one)(c_words, c_sigs, c_valid, c_geom)
 
 
 class VocabHEIndex:
@@ -85,7 +157,7 @@ class VocabHEIndex:
         self.words: jax.Array | None = None       # [W, D]
         self.he_proj: jax.Array | None = None     # [D, 64]
         self.he_thresh: jax.Array | None = None   # [W, 64]
-        self._entries: list = []                  # staged (img, word, sig)
+        self._entries: list = []        # staged (img, words, sigs, geom)
         self._names: list = []
         self._prepared = False
 
@@ -101,18 +173,33 @@ class VocabHEIndex:
         res = kmeans(key, x, self.n_words, iters=iters, chunk=65536)
         self.words = res.centroids
         # random orthogonal projection to 64 dims (QR of a Gaussian,
-        # inverted_index.h:174-183)
-        g = jax.random.normal(jax.random.fold_in(key, 1),
-                              (self.dim, self.dim))
-        qmat, _ = jnp.linalg.qr(g)
-        self.he_proj = qmat[:, :HE_BITS]
-        proj = jnp.matmul(x, self.he_proj,
-                          preferred_element_type=jnp.float32)   # [N, 64]
-        # per-word mean threshold (median in the reference)
-        onehot_sums = jnp.zeros((self.n_words, HE_BITS)).at[
-            res.assignments].add(proj)
-        counts = jnp.zeros((self.n_words,)).at[res.assignments].add(1.0)
-        self.he_thresh = onehot_sums / jnp.maximum(counts, 1.0)[:, None]
+        # inverted_index.h:174-183). For dim < 64 the reference's single
+        # QR cannot supply 64 orthogonal directions; concatenate
+        # independent orthogonal blocks until 64 columns exist (each
+        # block is orthogonal, bits stay balanced).
+        blocks = []
+        nb = -(-HE_BITS // self.dim)
+        for bi in range(nb):
+            g = jax.random.normal(jax.random.fold_in(key, 1 + bi),
+                                  (self.dim, self.dim))
+            qmat, _ = jnp.linalg.qr(g)
+            blocks.append(qmat)
+        self.he_proj = jnp.concatenate(blocks, axis=1)[:, :HE_BITS]
+        proj = np.asarray(jnp.matmul(
+            x, self.he_proj, preferred_element_type=jnp.float32))  # [N, 64]
+        # per-word MEDIAN threshold (inverted_file.h:276-292); grouped
+        # median on host: lexsort by word, then slice per word
+        asg = np.asarray(res.assignments)
+        order = np.argsort(asg, kind="stable")
+        proj_s, asg_s = proj[order], asg[order]
+        starts = np.searchsorted(asg_s, np.arange(self.n_words + 1))
+        thr = np.zeros((self.n_words, HE_BITS), np.float32)
+        global_med = np.median(proj, axis=0) if len(proj) else 0.0
+        for wid in range(self.n_words):
+            lo, hi = starts[wid], starts[wid + 1]
+            thr[wid] = (np.median(proj_s[lo:hi], axis=0) if hi > lo
+                        else global_med)
+        self.he_thresh = jnp.asarray(thr)
 
     # ------------------------------------------------------------------ add
     def _encode(self, descriptors):
@@ -123,34 +210,47 @@ class VocabHEIndex:
         sigs = _pack_bits(proj > self.he_thresh[words])
         return words, sigs
 
-    def add_image(self, descriptors, name: str | None = None) -> int:
-        """Stage one image's descriptors [K, D] (call prepare() after)."""
+    def add_image(self, descriptors, name: str | None = None,
+                  geometries=None) -> int:
+        """Stage one image's descriptors [K, D] (call prepare() after).
+
+        geometries: optional [K, 4] (x, y, scale, orientation) keypoint
+        frames enabling query-time spatial verification
+        (inverted_file_entry.h:47-109 stores the same 16-byte geometry).
+        """
         img_id = self.n_images
         words, sigs = self._encode(descriptors)
-        self._entries.append((img_id, np.asarray(words), np.asarray(sigs)))
+        k = len(np.asarray(words))
+        geom = (np.zeros((k, 4), np.float32) if geometries is None
+                else np.asarray(geometries, np.float32).reshape(k, 4))
+        self._entries.append((img_id, np.asarray(words), np.asarray(sigs),
+                              geom))
         self._names.append(name or f"img_{img_id}")
         self._prepared = False
         return img_id
 
     # -------------------------------------------------------------- prepare
     def prepare(self) -> None:
-        """Lay out padded per-word buckets, idf, burstiness weights, and
-        per-image self-similarity norms (visual_index.h:505-508)."""
-        w_all = np.concatenate([w for _, w, _ in self._entries])
-        s_all = np.concatenate([s for _, _, s in self._entries])
+        """Lay out padded per-word buckets (+ exact overflow tail), idf,
+        burstiness weights, and per-image self-similarity norms
+        (visual_index.h:505-508) in one batched scoring pass."""
+        w_all = np.concatenate([w for _, w, _, _ in self._entries])
+        s_all = np.concatenate([s for _, _, s, _ in self._entries])
+        g_all = np.concatenate([g for _, _, _, g in self._entries])
         i_all = np.concatenate([np.full(len(w), i, np.int32)
-                                for i, w, _ in self._entries])
+                                for i, w, _, _ in self._entries])
+        f_all = np.concatenate([np.arange(len(w), dtype=np.int32)
+                                for _, w, _, _ in self._entries])
         counts = np.bincount(w_all, minlength=self.n_words)
         cap = self.bucket_cap or int(
             min(max(counts.max(), 1),
                 max(8, 8 * max(1, len(w_all) // self.n_words))))
         cap = -(-cap // 8) * 8
 
-        # idf over images containing each word
+        # smoothed idf (see module docstring)
         pairs = np.unique(np.stack([w_all, i_all], 1), axis=0)
         n_img_with_word = np.bincount(pairs[:, 0], minlength=self.n_words)
-        idf = np.log(max(self.n_images, 1)
-                     / np.maximum(n_img_with_word, 1e-9))
+        idf = np.log((self.n_images + 1.0) / (n_img_with_word + 0.5))
         idf = np.maximum(idf, 0.0).astype(np.float32)
 
         # burstiness: weight 1/sqrt(#entries of this image in this word)
@@ -162,12 +262,11 @@ class VocabHEIndex:
         gsize = np.bincount(gid)
         burst = (1.0 / np.sqrt(gsize[gid])).astype(np.float32)
 
-        rank = np.zeros_like(ws)
         starts = np.zeros(self.n_words + 1, np.int64)
         np.cumsum(counts, out=starts[1:])
         rank = np.arange(len(ws)) - starts[ws]
         keep = rank < cap
-        dropped = int((~keep).sum())
+        over = ~keep
 
         b_img = np.full((self.n_words, cap), -1, np.int32)
         b_sig = np.zeros((self.n_words, cap, 2), np.uint32)
@@ -176,39 +275,109 @@ class VocabHEIndex:
         b_sig[ws[keep], rank[keep]] = s_all[order][keep]
         b_burst[ws[keep], rank[keep]] = burst[keep]
 
+        # exact overflow tail (padded to a multiple of 8, min 1 slot so
+        # the scoring pass keeps a static shape)
+        t_n = int(over.sum())
+        t_cap = max(8, -(-t_n // 8) * 8) if t_n else 1
+        t_word = np.full((t_cap,), -1, np.int32)
+        t_img = np.full((t_cap,), -1, np.int32)
+        t_sig = np.zeros((t_cap, 2), np.uint32)
+        t_burst = np.zeros((t_cap,), np.float32)
+        if t_n:
+            t_word[:t_n] = ws[over]
+            t_img[:t_n] = is_[over]
+            t_sig[:t_n] = s_all[order][over]
+            t_burst[:t_n] = burst[over]
+
         self._b_img = jnp.asarray(b_img)
         self._b_sig = jnp.asarray(b_sig)
         self._b_burst = jnp.asarray(b_burst)
+        self._t_word = jnp.asarray(t_word)
+        self._t_img = jnp.asarray(t_img)
+        self._t_sig = jnp.asarray(t_sig)
+        self._t_burst = jnp.asarray(t_burst)
         self._idf = jnp.asarray(idf)
-        self._dropped = dropped
+        self.n_overflow = t_n
 
-        # self-similarity: score of each image against itself, for
-        # cosine-style normalization (inverted_index.h:238-288)
-        selfs = np.zeros(self.n_images, np.float32)
-        for img_id, w, s in self._entries:
-            sc = _score_query(jnp.asarray(w), jnp.asarray(s),
-                              jnp.ones(len(w), bool), self._b_img,
-                              self._b_sig, self._b_burst, self._idf,
-                              self.n_images)
-            selfs[img_id] = float(sc[img_id])
+        # padded per-image entry tables for verification + batched
+        # self-similarity
+        kmax = max(len(w) for _, w, _, _ in self._entries)
+        kmax = -(-kmax // 8) * 8
+        n = self.n_images
+        e_words = np.full((n, kmax), -1, np.int32)
+        e_sigs = np.zeros((n, kmax, 2), np.uint32)
+        e_geom = np.zeros((n, kmax, 4), np.float32)
+        e_valid = np.zeros((n, kmax), bool)
+        for img_id, w, s, g in self._entries:
+            k = len(w)
+            e_words[img_id, :k] = w
+            e_sigs[img_id, :k] = s
+            e_geom[img_id, :k] = g
+            e_valid[img_id, :k] = True
+        self._e_words = jnp.asarray(e_words)
+        self._e_sigs = jnp.asarray(e_sigs)
+        self._e_geom = jnp.asarray(e_geom)
+        self._e_valid = jnp.asarray(e_valid)
+
+        # self-similarity in one vmapped pass (chunked over images)
+        score_v = jax.vmap(_score_query,
+                           in_axes=(0, 0, 0) + (None,) * 9,
+                           out_axes=0)
+        selfs = np.zeros(n, np.float32)
+        chunk = max(1, min(n, (1 << 22) // max(kmax * cap, 1)))
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            qw = jnp.where(self._e_words[lo:hi] >= 0,
+                           self._e_words[lo:hi], 0)
+            sc = score_v(qw, self._e_sigs[lo:hi], self._e_valid[lo:hi],
+                         self._b_img, self._b_sig, self._b_burst,
+                         self._t_word, self._t_img, self._t_sig,
+                         self._t_burst, self._idf, n)
+            selfs[lo:hi] = np.asarray(sc)[np.arange(hi - lo),
+                                          np.arange(lo, hi)]
         self._self_norm = jnp.asarray(np.sqrt(np.maximum(selfs, 1e-12)))
         self._prepared = True
 
     # --------------------------------------------------------------- query
-    def query(self, descriptors, *, topk: int = 10, valid=None):
-        """descriptors [Kq, D] -> (names, normalized scores)."""
+    def query(self, descriptors, *, topk: int = 10, valid=None,
+              geometries=None, verify: int = 0, key=None,
+              image_extent: float = 1024.0):
+        """descriptors [Kq, D] -> (names, normalized scores).
+
+        verify > 0 re-ranks the top-`verify` candidates by spatial
+        verification (visual_index.h Query with
+        num_images_after_verification): requires `geometries` [Kq, 4]
+        (x, y, scale, orientation) and geometry-carrying add_image calls.
+        The vote-and-verify score is added to the tf-idf score before
+        the final sort (visual_index.h:481-501)."""
         if not self._prepared:
             self.prepare()
         words, sigs = self._encode(descriptors)
         kq = words.shape[0]
         if valid is None:
             valid = jnp.ones((kq,), bool)
-        scores = _score_query(words, sigs, jnp.asarray(valid), self._b_img,
-                              self._b_sig, self._b_burst, self._idf,
-                              self.n_images)
+        valid = jnp.asarray(valid)
+        scores = _score_query(words, sigs, valid, self._b_img,
+                              self._b_sig, self._b_burst, self._t_word,
+                              self._t_img, self._t_sig, self._t_burst,
+                              self._idf, self.n_images)
         q_self = jnp.sqrt(jnp.maximum(jnp.sum(
             (self._idf[words] ** 2) * valid, dtype=jnp.float32), 1e-12))
         norm = scores / (self._self_norm * q_self)
+
+        if verify > 0:
+            if geometries is None:
+                raise ValueError("verify>0 requires query `geometries`")
+            c = min(verify, self.n_images)
+            _, cand = jax.lax.top_k(norm, c)
+            q_geom = jnp.asarray(geometries, jnp.float32).reshape(kq, 4)
+            vv = _verify_candidates(
+                words, sigs, valid, q_geom,
+                self._e_words[cand], self._e_sigs[cand],
+                self._e_valid[cand], self._e_geom[cand], self._idf,
+                image_extent)
+            norm = norm.at[cand].add(vv)
+
         k = min(topk, self.n_images)
         v, i = jax.lax.top_k(norm, k)
         i = np.asarray(i)
@@ -224,6 +393,14 @@ class VocabHEIndex:
                  b_img=np.asarray(self._b_img),
                  b_sig=np.asarray(self._b_sig),
                  b_burst=np.asarray(self._b_burst),
+                 t_word=np.asarray(self._t_word),
+                 t_img=np.asarray(self._t_img),
+                 t_sig=np.asarray(self._t_sig),
+                 t_burst=np.asarray(self._t_burst),
+                 e_words=np.asarray(self._e_words),
+                 e_sigs=np.asarray(self._e_sigs),
+                 e_geom=np.asarray(self._e_geom),
+                 e_valid=np.asarray(self._e_valid),
                  idf=np.asarray(self._idf),
                  self_norm=np.asarray(self._self_norm),
                  names=np.array(self._names))
@@ -238,8 +415,17 @@ class VocabHEIndex:
         idx._b_img = jnp.asarray(z["b_img"])
         idx._b_sig = jnp.asarray(z["b_sig"])
         idx._b_burst = jnp.asarray(z["b_burst"])
+        idx._t_word = jnp.asarray(z["t_word"])
+        idx._t_img = jnp.asarray(z["t_img"])
+        idx._t_sig = jnp.asarray(z["t_sig"])
+        idx._t_burst = jnp.asarray(z["t_burst"])
+        idx._e_words = jnp.asarray(z["e_words"])
+        idx._e_sigs = jnp.asarray(z["e_sigs"])
+        idx._e_geom = jnp.asarray(z["e_geom"])
+        idx._e_valid = jnp.asarray(z["e_valid"])
         idx._idf = jnp.asarray(z["idf"])
         idx._self_norm = jnp.asarray(z["self_norm"])
         idx._names = [str(s) for s in z["names"]]
+        idx.n_overflow = int(np.sum(np.asarray(z["t_img"]) >= 0))
         idx._prepared = True
         return idx

@@ -129,10 +129,38 @@ def read_cvt_records(path: str):
                  else np.zeros((0, 0), np.float32))
 
 
+def _write_cvt_records_native(path: str, ids, feats: np.ndarray) -> bool:
+    try:
+        from cvt_tpu.native import load_vecs_io
+        lib = load_vecs_io()
+    except Exception:
+        return False
+    n, d = feats.shape
+    if n > 2 ** 31 - 1 or d > 2 ** 31 - 1:   # format stores int32 n/d
+        raise ValueError(f"record stream limits n/d to int32: {n}x{d}")
+    raw = [s.encode("utf-8") for s in ids]
+    ids_buf = np.frombuffer(b"".join(raw), np.uint8).copy()
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum([len(r) for r in raw], out=offs[1:])
+    feats = np.ascontiguousarray(feats, "<f4")
+    i64 = ctypes.c_int64
+    lib.cvt_records_write.restype = i64
+    rc = lib.cvt_records_write(
+        path.encode(), i64(n), i64(d),
+        feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ids_buf.ctypes.data_as(ctypes.c_char_p),
+        offs.ctypes.data_as(ctypes.POINTER(i64)))
+    return rc == 0
+
+
 def write_cvt_records(path: str, ids, feats: np.ndarray) -> None:
-    """Write the cvt id+feature record stream."""
+    """Write the cvt id+feature record stream. Uses the native streamed
+    writer (native/vecs_io.cc cvt_records_write) when available; falls
+    back to the pure-Python struct loop."""
     feats = np.asarray(feats, dtype="<f4")
     assert len(ids) == feats.shape[0]
+    if _write_cvt_records_native(path, ids, feats):
+        return
     with open(path, "wb") as f:
         f.write(struct.pack("<i", len(ids)))
         for name, row in zip(ids, feats):

@@ -90,9 +90,14 @@ def _distort(model: str, params, xy):
         omega = params[..., 4]
         r = jnp.sqrt(jnp.maximum(r2, _EPS * _EPS))
         num = jnp.arctan(2.0 * r * jnp.tan(0.5 * omega))
+        # signed safe denominator: the model is even in omega and the
+        # reference divides by signed omega (negative omega is valid,
+        # e.g. from intrinsics refinement) — clamping with max() would
+        # flip the sign and explode the factor for omega < 0
+        safe_w = jnp.where(jnp.abs(omega) > _EPS, omega, 1.0)
         factor = jnp.where(
             (r2 > _EPS * _EPS) & (jnp.abs(omega) > _EPS),
-            num / (jnp.maximum(omega, _EPS) * r), 1.0)
+            num / (safe_w * r), 1.0)
         return xy * factor[..., None]
     if model in ("opencv_fisheye", "simple_radial_fisheye",
                  "radial_fisheye"):

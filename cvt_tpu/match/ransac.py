@@ -90,7 +90,10 @@ def ransac(key, src, dst, valid=None, *, model: str = "affine",
         proj2 = spec["apply"](mdl2, src)
         r2 = jnp.sum((proj2 - dst) ** 2, axis=-1)
         new_inl = (r2 < t2) & valid
+        # require a non-degenerate refit set: with 0 inliers the
+        # all-zero-weight fit is finite garbage and 0 >= 0 would accept it
         better = ((jnp.sum(new_inl) >= jnp.sum(inl_mask))
+                  & (jnp.sum(inl_mask) >= mn)
                   & jnp.all(jnp.isfinite(mdl2)))
         mdl = jnp.where(better, mdl2, mdl)
         inl_mask = jnp.where(better, new_inl, inl_mask)
@@ -163,6 +166,7 @@ def ransac_preemptive(key, src, dst, valid=None, *, model: str = "affine",
         r2 = jnp.sum((spec["apply"](mdl2, src) - dst) ** 2, axis=-1)
         new_inl = (r2 < t2) & valid
         better = ((jnp.sum(new_inl) >= jnp.sum(inl_mask))
+                  & (jnp.sum(inl_mask) >= mn)
                   & jnp.all(jnp.isfinite(mdl2)))
         return (jnp.where(better, mdl2, mdl),
                 jnp.where(better, new_inl, inl_mask)), None

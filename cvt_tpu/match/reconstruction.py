@@ -281,6 +281,8 @@ class Reconstruction:
                       n_fixed_poses: int = 1,
                       huber_delta: Optional[float] = None) -> float:
         """Global BA over all registered images + points; writes back."""
+        if not self.points3d or not self.images:
+            return 0.0          # empty scene: graceful no-op
         prob, ids, pt_ids = self.to_ba_problem()
         poses, points, cost = bundle_adjust(
             prob, iters=iters, n_fixed_poses=n_fixed_poses,
@@ -296,6 +298,8 @@ class Reconstruction:
     def filter_points(self, max_error: float) -> int:
         """Drop points whose mean reprojection error exceeds max_error
         (reconstruction.cc FilterPoints3DWithLargeReprojectionError)."""
+        if not self.points3d or not self.images:
+            return 0            # empty scene: graceful no-op
         prob, _, pt_ids = self.to_ba_problem()
         errs = np.asarray(reprojection_errors(
             prob.poses, prob.points, prob.cam_idx, prob.pt_idx, prob.uv,

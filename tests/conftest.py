@@ -19,8 +19,12 @@ import pytest  # noqa: E402
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: a session-scoped shared generator makes every
+    # test's data depend on which tests ran before it (order-dependent
+    # flakiness); a fresh seeded generator per test is deterministic
+    # under any test selection.
     return np.random.default_rng(0)
 
 

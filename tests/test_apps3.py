@@ -19,10 +19,22 @@ def _have_cv2():
         return False
 
 
+def _bandlimited(rng, shape, sigma):
+    """Smoothed noise: white noise has no interior-scale DoG extrema (all
+    energy at the finest level, which SIFT discards by design — VLFeat
+    does too), so synthetic textures must be band-limited to be a fair
+    input for any scale-space detector."""
+    from scipy.ndimage import gaussian_filter
+    x = gaussian_filter(rng.random(shape).astype(np.float32), sigma)
+    x -= x.min()
+    return x / max(float(x.max()), 1e-6)
+
+
 def _textured_frames(rng, t=6, h=64, w=80):
-    """Frames with a recognizable random texture patch inserted in some."""
-    frames = rng.random((t, h, w)).astype(np.float32) * 0.2
-    patch = rng.random((32, 32)).astype(np.float32)
+    """Frames with a recognizable band-limited texture patch in some."""
+    frames = np.stack([_bandlimited(rng, (h, w), 3.0) * 0.3
+                       for _ in range(t)])
+    patch = _bandlimited(rng, (32, 32), 1.5)
     hit_ids = [2, 4]
     for i in hit_ids:
         frames[i, 16:48, 24:56] = patch

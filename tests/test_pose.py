@@ -70,6 +70,9 @@ def test_solve_quartic_batched_pair_complex():
                      1e-3, 0.01, -2e-3, 5e-4]),
     ("opencv_fisheye", [500., 510., 320., 240., 0.03, -0.005, 1e-3, -5e-4]),
     ("fov", [500., 510., 320., 240., 0.9]),
+    # negative omega is valid input (model is even in omega; a sign-
+    # flipped safe denominator used to blow the factor up ~1e8x)
+    ("fov", [500., 510., 320., 240., -0.9]),
     ("simple_radial_fisheye", [500., 320., 240., 0.04]),
     ("radial_fisheye", [500., 320., 240., 0.03, -0.008]),
     ("thin_prism_fisheye", [500., 510., 320., 240., 0.03, -0.005, 1e-3,

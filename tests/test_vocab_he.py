@@ -10,7 +10,10 @@ from cvt_tpu.index import VocabHEIndex
 
 
 @pytest.fixture(scope="module")
-def vocab_setup(rng):
+def vocab_setup():
+    # module-scoped: uses its own generator (the shared `rng` fixture is
+    # function-scoped by design)
+    rng = np.random.default_rng(0)
     # 20 "images" of 64 descriptors each, SIFT-like
     train = rng.gamma(1.5, 20.0, size=(4096, 128)).astype(np.float32)
     images = [np.clip(train[rng.integers(0, 4096, 64)]
@@ -62,3 +65,78 @@ def test_signatures_are_64_bits(vocab_setup, rng):
     # bits should be roughly balanced around the per-word thresholds
     bits = np.unpackbits(np.ascontiguousarray(sigs).view(np.uint8), axis=-1)
     assert 0.2 < bits.mean() < 0.8
+
+
+def _geom_img(rng, pool, scramble=False):
+    k = pool.shape[0]
+    d = pool + rng.normal(scale=0.02, size=pool.shape).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    g = np.zeros((k, 4), np.float32)
+    g[:, 0] = np.linspace(10, 500, k)
+    g[:, 1] = np.linspace(20, 400, k)
+    g[:, 2] = 2.0
+    g[:, 3] = 0.3
+    if scramble:
+        g[:, :2] = rng.uniform(0, 512, size=(k, 2)).astype(np.float32)
+        g[:, 3] = rng.uniform(-3, 3, size=k).astype(np.float32)
+    return d, g
+
+
+def test_query_verification_demotes_geometric_impostor(rng):
+    """visual_index.h:260-501 semantics: Hamming match -> 1-to-1 dedup ->
+    vote-and-verify reorders the top-N; an image with identical
+    descriptors but scrambled geometry must rank below the true match."""
+    import jax
+    d_dim, k = 32, 64
+    pool = rng.normal(size=(k, d_dim)).astype(np.float32)
+    pool /= np.linalg.norm(pool, axis=1, keepdims=True)
+    other = rng.normal(size=(k, d_dim)).astype(np.float32)
+    other /= np.linalg.norm(other, axis=1, keepdims=True)
+    idx = VocabHEIndex(n_words=16, dim=d_dim)
+    idx.train(jax.random.PRNGKey(0), np.concatenate([pool, other]))
+    d0, g0 = _geom_img(rng, pool)
+    d1, g1 = _geom_img(rng, pool, scramble=True)
+    d2, g2 = _geom_img(rng, other)
+    for nm, (d, g) in {"true": (d0, g0), "twin": (d1, g1),
+                       "bg": (d2, g2)}.items():
+        idx.add_image(d, name=nm, geometries=g)
+    idx.prepare()
+    qd, qg = _geom_img(rng, pool)
+    qg[:, 0] += 15.0
+    qg[:, 1] -= 9.0
+    names_v, scores_v = idx.query(qd, topk=3, geometries=qg, verify=3,
+                                  image_extent=512.0)
+    assert names_v[0] == "true"
+    assert (scores_v[names_v.index("true")]
+            > scores_v[names_v.index("twin")] + 5.0)
+    # dim < 64 exercised throughout (HE projection must still be 64-bit)
+    assert np.asarray(idx.he_proj).shape == (d_dim, 64)
+
+
+def test_overflow_tail_scored_exactly(rng):
+    """Bucket overflow entries must still contribute to scores
+    (the reference inverted file never drops entries)."""
+    import jax
+    d_dim = 32
+    pool = rng.normal(size=(48, d_dim)).astype(np.float32)
+    pool /= np.linalg.norm(pool, axis=1, keepdims=True)
+    imgs = []
+    for i in range(3):
+        d = pool + rng.normal(scale=0.02, size=pool.shape
+                              ).astype(np.float32)
+        imgs.append(d / np.linalg.norm(d, axis=1, keepdims=True))
+    big = VocabHEIndex(n_words=4, dim=d_dim)          # generous cap
+    tiny = VocabHEIndex(n_words=4, dim=d_dim, bucket_cap=2)
+    for idx in (big, tiny):
+        idx.train(jax.random.PRNGKey(0), pool)
+        for i, d in enumerate(imgs):
+            idx.add_image(d, name=f"im{i}")
+        idx.prepare()
+    assert tiny.n_overflow > 0
+    q = pool + rng.normal(scale=0.02, size=pool.shape).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    n1, s1 = big.query(q, topk=3)
+    n2, s2 = tiny.query(q, topk=3)
+    # tail pass makes the tiny-capped index score identically
+    assert n1 == n2
+    np.testing.assert_allclose(s1, s2, rtol=1e-4)
