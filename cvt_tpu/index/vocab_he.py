@@ -46,7 +46,8 @@ import jax
 import jax.numpy as jnp
 
 from cvt_tpu.match.vote_verify import vote_and_verify
-from cvt_tpu.ops.kmeans import kmeans, kmeans_assign
+from cvt_tpu.ops.kmeans import (hierarchical_assign, hierarchical_kmeans,
+                                kmeans, kmeans_assign)
 
 HE_BITS = 64
 HE_MAX_DIST = 24       # visual_index.h max Hamming distance
@@ -150,16 +151,35 @@ class VocabHEIndex:
     """Visual-word + Hamming-embedding image retrieval index."""
 
     def __init__(self, n_words: int = 4096, dim: int = 128,
-                 bucket_cap: int | None = None):
+                 bucket_cap: int | None = None,
+                 hierarchical: bool | None = None, probes: int = 4):
+        """hierarchical: two-level vocabulary (FLANN-tree replacement,
+        visual_index.h:624-665); None = auto (on for n_words >= 16384,
+        where the flat assignment matmul stops being practical). The
+        reference operating point — 1M words — requires it. probes:
+        coarse cells searched per descriptor at assignment."""
         self.n_words = n_words
         self.dim = dim
         self.bucket_cap = bucket_cap
+        self.hierarchical = (n_words >= 16384 if hierarchical is None
+                             else hierarchical)
+        self.probes = probes
         self.words: jax.Array | None = None       # [W, D]
+        self.coarse: jax.Array | None = None      # [K1, D] (hierarchical)
+        self.fine: jax.Array | None = None        # [K1, K2, D]
         self.he_proj: jax.Array | None = None     # [D, 64]
         self.he_thresh: jax.Array | None = None   # [W, 64]
         self._entries: list = []        # staged (img, words, sigs, geom)
         self._names: list = []
         self._prepared = False
+
+    @staticmethod
+    def _factor(n_words: int) -> tuple[int, int]:
+        """Balanced k1*k2 = n_words factorization (k1 <= k2)."""
+        k1 = int(n_words ** 0.5)
+        while k1 > 1 and n_words % k1:
+            k1 -= 1
+        return k1, n_words // k1
 
     @property
     def n_images(self) -> int:
@@ -170,8 +190,19 @@ class VocabHEIndex:
         """Build the vocabulary + HE projection/thresholds from a training
         descriptor sample [N, D]."""
         x = jnp.asarray(descriptors, jnp.float32)
-        res = kmeans(key, x, self.n_words, iters=iters, chunk=65536)
-        self.words = res.centroids
+        if self.hierarchical:
+            k1, k2 = self._factor(self.n_words)
+            hres = hierarchical_kmeans(key, x, k1, k2,
+                                       coarse_iters=iters,
+                                       fine_iters=max(iters // 2, 6))
+            self.coarse, self.fine = hres.coarse, hres.fine
+            self.words = hres.flat_words()
+            assignments, _ = hierarchical_assign(
+                x, self.coarse, self.fine, probes=self.probes)
+        else:
+            res = kmeans(key, x, self.n_words, iters=iters, chunk=65536)
+            self.words = res.centroids
+            assignments = res.assignments
         # random orthogonal projection to 64 dims (QR of a Gaussian,
         # inverted_index.h:174-183). For dim < 64 the reference's single
         # QR cannot supply 64 orthogonal directions; concatenate
@@ -189,7 +220,7 @@ class VocabHEIndex:
             x, self.he_proj, preferred_element_type=jnp.float32))  # [N, 64]
         # per-word MEDIAN threshold (inverted_file.h:276-292); grouped
         # median on host: lexsort by word, then slice per word
-        asg = np.asarray(res.assignments)
+        asg = np.asarray(assignments)
         order = np.argsort(asg, kind="stable")
         proj_s, asg_s = proj[order], asg[order]
         starts = np.searchsorted(asg_s, np.arange(self.n_words + 1))
@@ -204,7 +235,11 @@ class VocabHEIndex:
     # ------------------------------------------------------------------ add
     def _encode(self, descriptors):
         x = jnp.asarray(descriptors, jnp.float32)
-        words, _ = kmeans_assign(x, self.words)
+        if self.hierarchical:
+            words, _ = hierarchical_assign(x, self.coarse, self.fine,
+                                           probes=self.probes)
+        else:
+            words, _ = kmeans_assign(x, self.words)
         proj = jnp.matmul(x, self.he_proj,
                           preferred_element_type=jnp.float32)
         sigs = _pack_bits(proj > self.he_thresh[words])
@@ -387,7 +422,12 @@ class VocabHEIndex:
     def save(self, path: str) -> None:
         if not self._prepared:
             self.prepare()
+        hier = self.hierarchical and self.coarse is not None
         np.savez(path, words=np.asarray(self.words),
+                 coarse=(np.asarray(self.coarse) if hier
+                         else np.zeros((0, self.dim), np.float32)),
+                 fine=(np.asarray(self.fine) if hier
+                       else np.zeros((0, 0, self.dim), np.float32)),
                  he_proj=np.asarray(self.he_proj),
                  he_thresh=np.asarray(self.he_thresh),
                  b_img=np.asarray(self._b_img),
@@ -408,8 +448,13 @@ class VocabHEIndex:
     @classmethod
     def load(cls, path: str) -> "VocabHEIndex":
         z = np.load(path, allow_pickle=False)
-        idx = cls(n_words=z["words"].shape[0], dim=z["words"].shape[1])
+        hier = "coarse" in z.files and z["coarse"].shape[0] > 0
+        idx = cls(n_words=z["words"].shape[0], dim=z["words"].shape[1],
+                  hierarchical=hier)
         idx.words = jnp.asarray(z["words"])
+        if hier:
+            idx.coarse = jnp.asarray(z["coarse"])
+            idx.fine = jnp.asarray(z["fine"])
         idx.he_proj = jnp.asarray(z["he_proj"])
         idx.he_thresh = jnp.asarray(z["he_thresh"])
         idx._b_img = jnp.asarray(z["b_img"])

@@ -50,16 +50,23 @@ def load_sift1m(root: str | None = None):
 
 def synthetic_sift(n: int, d: int = 128, *, n_queries: int = 0,
                    n_clusters: int | None = None, seed: int = 0,
-                   query_noise: float = 6.0, dtype=np.float32):
+                   query_mode: str = "fresh", query_noise: float = 6.0,
+                   dtype=np.float32):
     """SIFT-like synthetic data: mixture of clusters, non-negative,
     heavy-tailed, scaled to SIFT's typical magnitude.
 
     n_clusters defaults to max(256, n // 16) so nearest-neighbor gaps
     stay meaningful at scale (with few clusters, same-cluster points
     differ only by iid noise and no compact code can rank them — recall
-    would measure the generator, not the index). Queries are perturbed
-    copies of random base points (near-duplicate retrieval, cvt's actual
-    workload) with noise `query_noise` << the cluster noise.
+    would measure the generator, not the index).
+
+    query_mode:
+      * 'fresh' (default): queries are INDEPENDENT draws from the same
+        mixture — the honest recall regime (a query's nearest neighbor is
+        a genuinely different point, like SIFT1M's held-out query set).
+      * 'perturbed': queries are noisy copies of base points
+        (near-duplicate retrieval, cvt's application workload); recall
+        numbers in this mode are optimistic and must be labeled as such.
     """
     rng = np.random.default_rng(seed)
     if n_clusters is None:
@@ -73,7 +80,13 @@ def synthetic_sift(n: int, d: int = 128, *, n_queries: int = 0,
 
     base = draw(n)
     if n_queries:
-        src = rng.integers(0, n, size=n_queries)
-        q = base[src] + rng.normal(0.0, query_noise, size=(n_queries, d))
-        return base, np.clip(q, 0.0, 255.0).astype(dtype)
+        if query_mode == "fresh":
+            q = draw(n_queries)
+        elif query_mode == "perturbed":
+            src = rng.integers(0, n, size=n_queries)
+            q = base[src] + rng.normal(0.0, query_noise, size=(n_queries, d))
+            q = np.clip(q, 0.0, 255.0).astype(dtype)
+        else:
+            raise ValueError(f"unknown query_mode {query_mode!r}")
+        return base, q
     return base

@@ -20,6 +20,8 @@
 //
 // Build: cc -O3 -fopenmp -shared -fPIC (see Makefile / native/__init__.py).
 
+#include <omp.h>
+
 #include <algorithm>
 #include <atomic>
 #include <cmath>
@@ -72,12 +74,17 @@ struct ByDistDesc {  // max-heap on dist (result set, evict worst)
 };
 
 // Per-thread scratch: epoch-tagged visited marks (no clearing between
-// queries; bump the epoch instead).
+// queries; bump the epoch instead). Sized to the index CAPACITY, not the
+// current count: during concurrent inserts another thread may publish a
+// node id beyond the count observed at reset time, and marking it must
+// never write out of bounds.
 struct Scratch {
   std::vector<uint32_t> mark;
+  std::vector<int32_t> nbrs;  // neighbor-list copy buffer (locked reads)
   uint32_t epoch = 0;
-  void reset(size_t n) {
-    if (mark.size() < n) mark.resize(n, 0);
+  void reset(size_t cap, size_t max_links) {
+    if (mark.size() < cap) mark.resize(cap, 0);
+    if (nbrs.size() < max_links) nbrs.resize(max_links);
     if (++epoch == 0) {  // wrapped: clear once
       std::fill(mark.begin(), mark.end(), 0);
       epoch = 1;
@@ -126,16 +133,22 @@ class HnswIndex {
   const int32_t* links(int32_t v, int level) const {
     return const_cast<HnswIndex*>(this)->links(v, level);
   }
-  std::mutex& lock_of(int32_t v) { return node_locks_[v % kLockStripes]; }
+  std::mutex& lock_of(int32_t v) const {
+    return node_locks_[v % kLockStripes];
+  }
 
   // ---- beam search at one level (algorithm 2 of the paper) ------------
   // Returns up to `ef` nearest candidates as a max-heap vector.
+  // `locked=true` copies each neighbor list under its node lock — the
+  // insert path must use this (concurrent writers mutate the lists);
+  // read-only queries skip the locks (single-writer contract, like the
+  // reference Database's documented single-thread usage, database.h:51).
   void search_layer(const float* q, int32_t entry, float entry_d, int level,
-                    int ef, Scratch& s,
-                    std::vector<Candidate>& out) const {
+                    int ef, Scratch& s, std::vector<Candidate>& out,
+                    bool locked) const {
     std::priority_queue<Candidate, std::vector<Candidate>, ByDistAsc> grow;
     std::priority_queue<Candidate, std::vector<Candidate>, ByDistDesc> best;
-    s.reset(size_t(count_.load()));
+    s.reset(size_t(cap_), size_t(m0_ + 1));
     s.visit(entry);
     grow.push({entry_d, entry});
     best.push({entry_d, entry});
@@ -143,9 +156,20 @@ class HnswIndex {
       Candidate c = grow.top();
       if (c.dist > best.top().dist && int(best.size()) >= ef) break;
       grow.pop();
-      const int32_t* lk = links(c.node, level);
-      const int n = lk[0];
-      for (int i = 1; i <= n; ++i) {
+      const int32_t* lk;  // points at the first neighbor id
+      int n;
+      if (locked) {
+        std::lock_guard<std::mutex> g(lock_of(c.node));
+        const int32_t* src = links(c.node, level);
+        n = src[0];
+        std::memcpy(s.nbrs.data(), src + 1, sizeof(int32_t) * n);
+        lk = s.nbrs.data();
+      } else {
+        const int32_t* src = links(c.node, level);
+        n = src[0];
+        lk = src + 1;
+      }
+      for (int i = 0; i < n; ++i) {
         const int32_t u = lk[i];
         if (s.visited(u)) continue;
         s.visit(u);
@@ -238,7 +262,7 @@ class HnswIndex {
     // beam + connect at each level from min(level, top) down to 0
     std::vector<Candidate> cand;
     for (int lvl = std::min(level, top); lvl >= 0; --lvl) {
-      search_layer(x, ep, epd, lvl, efc_, s, cand);
+      search_layer(x, ep, epd, lvl, efc_, s, cand, /*locked=*/true);
       if (!cand.empty()) {
         ep = cand.back().node;  // best-so-far seeds the next level down
         epd = cand.back().dist;
@@ -256,7 +280,11 @@ class HnswIndex {
         std::lock_guard<std::mutex> g(lock_of(nb.node));
         int32_t* lk = links(nb.node, lvl);
         if (lk[0] < max_m) {
-          lk[++lk[0]] = v;
+          // write the entry BEFORE bumping the count: lock-free readers
+          // (query path) must never observe a count covering an
+          // unwritten slot
+          lk[lk[0] + 1] = v;
+          ++lk[0];
         } else {
           // re-select among existing links + v (shrink step)
           std::vector<Candidate> pool;
@@ -305,7 +333,8 @@ class HnswIndex {
       }
     }
     std::vector<Candidate> cand;
-    search_layer(q, ep, epd, 0, std::max(ef, k), s, cand);
+    search_layer(q, ep, epd, 0, std::max(ef, k), s, cand,
+                 /*locked=*/false);
     const int n = std::min<int>(k, int(cand.size()));
     // cand is worst-to-best; emit the best n in ascending-dist order
     for (int i = 0; i < n; ++i) {
@@ -401,7 +430,7 @@ class HnswIndex {
   std::vector<int32_t> levels_;
   std::vector<int32_t> links0_;
   std::vector<std::vector<int32_t>> upper_;
-  std::vector<std::mutex> node_locks_;
+  mutable std::vector<std::mutex> node_locks_;
   mutable std::mutex entry_mu_;
   std::mutex rng_mu_;
   std::mt19937_64 rng_;
@@ -435,7 +464,9 @@ int64_t cvt_hnsw_add(void* h, const float* vectors, const int64_t* labels,
   HnswIndex* idx = static_cast<HnswIndex*>(h);
   std::atomic<int64_t> done{0};
   std::atomic<bool> failed{false};
-#pragma omp parallel num_threads(num_threads > 0 ? num_threads : 0)
+  // num_threads(0) is invalid OpenMP; <=0 means "library default"
+  const int nt = num_threads > 0 ? num_threads : omp_get_max_threads();
+#pragma omp parallel num_threads(nt)
   {
     Scratch s;
 #pragma omp for schedule(dynamic, 64)
@@ -457,7 +488,8 @@ int64_t cvt_hnsw_add(void* h, const float* vectors, const int64_t* labels,
 int cvt_hnsw_search(void* h, const float* queries, int64_t n, int k, int ef,
                     int num_threads, int64_t* out_labels, float* out_dists) {
   const HnswIndex* idx = static_cast<HnswIndex*>(h);
-#pragma omp parallel num_threads(num_threads > 0 ? num_threads : 0)
+  const int nt = num_threads > 0 ? num_threads : omp_get_max_threads();
+#pragma omp parallel num_threads(nt)
   {
     Scratch s;
 #pragma omp for schedule(dynamic, 8)

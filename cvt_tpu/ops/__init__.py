@@ -7,7 +7,9 @@ from cvt_tpu.ops.linalg import (
     pairwise_distance,
 )
 from cvt_tpu.ops.topk import top_k_smallest, top_k_largest, merge_topk
-from cvt_tpu.ops.kmeans import kmeans, kmeans_assign, KMeansResult
+from cvt_tpu.ops.kmeans import (kmeans, kmeans_assign, KMeansResult,
+                                hierarchical_kmeans, hierarchical_assign,
+                                HierKMeansResult)
 
 __all__ = [
     "l2_normalize",
@@ -20,4 +22,7 @@ __all__ = [
     "kmeans",
     "kmeans_assign",
     "KMeansResult",
+    "hierarchical_kmeans",
+    "hierarchical_assign",
+    "HierKMeansResult",
 ]

@@ -6,14 +6,18 @@ graph walk (hnswalg.h:218-282) with a flat HBM-resident code scan.
 
 Per grid tile of TILE_N code rows (auto-pipelined HBM->VMEM):
   1. DECODE-FIRST (the TPU-native ADC formulation): subspace codes become
-     one-hot [K, T] masks contracted with transposed codebooks on the
-     MXU, writing a decoded [D, T] bf16 tile into VMEM scratch. Cost
-     2*K*D flops/row amortized over the WHOLE query batch — versus the
-     CPU LUT-sum's per-query gather loop (2*M*K*B per row). Subspaces
-     are grouped block-diagonally so every matmul has >= 16 sublanes.
-  2. SCORE: one [B, D] x [D, T] MXU matmul with -2q folded in, plus the
-     row norms ||decode||^2 reduced on the VPU from the same bf16 tile
-     (so scoring is self-consistent in the bf16-decoded space); the
+     one-hot [K, T] int8 masks contracted with int8-quantized transposed
+     codebooks on the MXU (int8 x int8 -> int32 runs at 2x the bf16 MXU
+     rate), writing a decoded [D, T] tile into VMEM scratch. The
+     per-subspace dequant scale is folded into the QUERY operand (and
+     squared into the norm reduction), so the int8 decode needs no
+     per-tile rescale. Cost 2*K*D flops/row amortized over the WHOLE
+     query batch — versus the CPU LUT-sum's per-query gather loop
+     (2*M*K*B per row). Subspaces are grouped block-diagonally so the
+     decode matmul uses all 128 MXU sublanes (g*ds = 128).
+  2. SCORE: [D, T] x -2*(q*scale) [B_sub, D] MXU matmuls over B_sub-query
+     subtiles, plus the quantized row norms reduced via a 1-wide matmul
+     against scale^2 (self-consistent in the quantized-decode space); the
      per-query ||q||^2 is added at merge time.
   3. SELECT: per-128-row SEGMENT minima (+argmins) are the only values
      that reach HBM — never the [N, B] distance matrix. One small XLA
@@ -21,6 +25,8 @@ Per grid tile of TILE_N code rows (auto-pipelined HBM->VMEM):
      _adc_segmin_kernel makes this exact-by-construction for top-1 and
      near-exact for k <= seg; exact=True re-scores winning segments).
 
+Measured on one chip (chained in-jit timing, 1M x 64-bit codes): 3.3 ms
+at B=1024 (312k QPS) to 7.5 ms at B=4096 (543k QPS) for phase 1.
 Cross-checked against the pure-XLA engine in tests/test_pallas.py.
 """
 
@@ -37,10 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 3.4e38  # finite +inf stand-in (inf arithmetic is slow on the VPU)
 
 
-def _adc_segmin_kernel(codes_ref, cbt_ref, q2_ref, segmin_ref, segarg_ref,
-                       dect_ref, *, m, k_sub, ds, group, tile_n, seg,
-                       n_super, n_valid):
-    """Phase-1 kernel: decode + score a tile, emit per-SEGMENT min+argmin.
+def _adc_segmin_kernel(nv_ref, codes_ref, cbt_ref, q2_ref, s2_ref,
+                       segmin_ref, segarg_ref, onehot_ref, dect_ref, *, m,
+                       k_sub, ds, group, tile_n, seg, b_sub):
+    """Phase-1 kernel: int8 decode + score a tile, emit per-SEGMENT min+arg.
 
     Segment lemma: a query's k-th smallest distance tau bounds the
     segments of interest — every candidate <= tau lies in a segment whose
@@ -49,102 +55,109 @@ def _adc_segmin_kernel(codes_ref, cbt_ref, q2_ref, segmin_ref, segarg_ref,
     one candidate each (exact top-1; at higher k a segment holding two
     winners contributes only its best — vanishing probability at
     N/seg >> k, and the exact=True path re-scores whole segments).
-    Phase 1 is pure matmul + min reductions: the kt-pass in-kernel
-    extraction of the naive design disappears entirely.
 
     Everything runs in [T, B] orientation: the (T, B) -> (T/seg, seg, B)
     reshape splits SUBLANES, which is layout-free on TPU (the [B, T]
     orientation's lane-split reshape forced a full relayout per subtile
-    and made large-B runs 5x slower). segmin_ref/segarg_ref: [128, B] row
-    blocks of the global [Npad/seg, B] outputs (each grid step covers
-    n_super subtiles so its output block spans exactly 128 sublanes).
+    and made large-B runs 5x slower). Scoring loops over B_sub-query
+    subtiles so one decoded tile serves arbitrarily large query batches
+    without growing the [T, B_sub] distance live range.
     """
     i = pl.program_id(0)
     t = tile_n
     g = group
-    gk = g * k_sub
-    gds = g * ds
-    spt = t // seg                     # segments per subtile
+    spt = t // seg                     # segments per tile
     b = q2_ref.shape[0]
 
-    for sub in range(n_super):
-        for gi in range(m // g):
-            iota2 = jax.lax.broadcasted_iota(jnp.int32, (gk, t), 0)
-            target = iota2 % k_sub
-            sel = codes_ref[g * gi, sub * t:(sub + 1) * t].reshape(1, t)
-            for j in range(1, g):
-                sel = jnp.where(
-                    iota2 // k_sub == j,
-                    codes_ref[g * gi + j, sub * t:(sub + 1) * t]
-                    .reshape(1, t), sel)
-            onehot = (sel == target).astype(jnp.bfloat16)
-            # precision pinned to DEFAULT: bf16 x bf16 -> f32 is the native
-            # MXU mode; a global jax_default_matmul_precision=highest would
-            # otherwise inject contract_precision=fp32, which Mosaic
-            # rejects for bf16 operands ("Bad lhs type")
-            dec_g = jax.lax.dot_general(
-                cbt_ref[gi], onehot,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)
-            dect_ref[gi * gds:(gi + 1) * gds, :] = dec_g.astype(jnp.bfloat16)
+    for gi in range(m // g):
+        # one-hot built per subspace as [k_sub, T] int8 blocks of the
+        # [g*k_sub, T] scratch (avoids a [g*k, T] int32 iota temporary)
+        for j in range(g):
+            kk = jax.lax.broadcasted_iota(jnp.int32, (k_sub, t), 0)
+            onehot_ref[j * k_sub:(j + 1) * k_sub, :] = (
+                kk == codes_ref[g * gi + j, :].reshape(1, t)
+            ).astype(jnp.int8)
+        dec_g = jax.lax.dot_general(
+            cbt_ref[gi], onehot_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            # int8 x int8 -> int32: native double-rate MXU mode; a global
+            # jax_default_matmul_precision=highest would inject
+            # contract_precision=fp32, which Mosaic rejects
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.int32)            # [g*ds, T]
+        dect_ref[gi * g * ds:(gi + 1) * g * ds, :] = dec_g.astype(
+            jnp.bfloat16)                                # |v|<=127: exact
 
-        dec = dect_ref[:, :]                                     # [D, T]
+    dec = dect_ref[:, :]                                 # [D, T] bf16
+    dec32 = dec.astype(jnp.float32)
+    # ||scale * dec||^2 as a [T, 1] column via a 1-wide MXU matmul against
+    # the per-dim squared scales (keeps [T, B] orientation, no transposes)
+    norm = jax.lax.dot_general(
+        dec32 * dec32, s2_ref[:, :],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)              # [T, 1]
+    base = i * t
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    # n_valid is a runtime scalar (SMEM): lets the same executable serve
+    # any database size, and per-shard validity under shard_map
+    dist_base = jnp.where(base + row < nv_ref[0], norm, BIG)
+
+    segrow = jax.lax.broadcasted_iota(jnp.int32, (spt, b_sub), 0)
+    for bs in range(b // b_sub):
         ip = jax.lax.dot_general(
-            dec, q2_ref[:, :],
+            dec, q2_ref[bs * b_sub:(bs + 1) * b_sub, :],
             dimension_numbers=(((0,), (1,)), ((), ())),
             precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32)                  # [T, B]
-        # ||dec||^2 as a [T, 1] column via a 1-wide MXU matmul (keeps the
-        # whole pipeline in [T, B] orientation, no transposes)
-        dec32 = dec.astype(jnp.float32)
-        norm = jax.lax.dot_general(
-            dec32 * dec32, jnp.ones((1, dec.shape[0]), jnp.float32),
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)                  # [T, 1]
-        dist = ip + norm
-        base = (i * n_super + sub) * t
-        row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
-        dist = jnp.where(base + row < n_valid, dist, BIG)
-        d3 = dist.reshape(spt, seg, b)         # sublane split: layout-free
-        mins = jnp.min(d3, axis=1)                               # [spt, B]
-        segmin_ref[sub * spt:(sub + 1) * spt, :] = mins
+            preferred_element_type=jnp.float32)          # [T, b_sub]
+        dist = ip + dist_base
+        d3 = dist.reshape(spt, seg, b_sub)   # sublane split: layout-free
+        mins = jnp.min(d3, axis=1)                       # [spt, b_sub]
+        segmin_ref[:, bs * b_sub:(bs + 1) * b_sub] = mins
         lane = jax.lax.broadcasted_iota(jnp.int32, d3.shape, 1)
         cand = jnp.where(d3 == mins[:, None, :], lane, seg)
-        arg = jnp.min(cand, axis=1)                              # [spt, B]
-        segrow = jax.lax.broadcasted_iota(jnp.int32, arg.shape, 0)
-        segarg_ref[sub * spt:(sub + 1) * spt, :] = (
-            base + segrow * seg + arg)                           # global row
+        arg = jnp.min(cand, axis=1)                      # [spt, b_sub]
+        segarg_ref[:, bs * b_sub:(bs + 1) * b_sub] = (
+            base + segrow * seg + arg)                   # global row id
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("n_valid", "tile_n", "seg", "group", "interpret"))
-def _adc_segmin(q2, codes_t, cbt_g, n_valid, tile_n, seg, group, interpret):
-    """Phase 1: per-segment (min, arg) -> ([Npad/seg, B] f32, i32)."""
-    b, d = q2.shape
+    jax.jit, static_argnames=("tile_n", "seg", "group", "interpret"))
+def _adc_segmin(q2s, codes_t, cbt_q, s2, n_valid, tile_n, seg, group,
+                interpret):
+    """Phase 1: per-segment (min, arg) -> ([Npad/seg, B] f32, i32).
+
+    q2s [Bpad, D] bf16 = -2 * q * scale_row; cbt_q [G, g*ds, g*K] int8
+    block-diagonal transposed codebooks; s2 [D, 1] f32 = scale_row^2.
+    n_valid may be a python int OR a traced scalar (per-shard validity
+    under shard_map) — it reaches the kernel through SMEM.
+    """
+    b, d = q2s.shape
     mpad, npad = codes_t.shape
-    grp, gds, gk = cbt_g.shape
+    grp, gds, gk = cbt_q.shape
     ds = gds // group
     k_sub = gk // group
     m = grp * group
-    # output block (tile_n/seg, B) needs only sublane alignment (mult. of
-    # 8), so one subtile per grid step suffices: tile_n/seg = 8 or 16
-    n_super = 1
-    block_n = tile_n
-    n_tiles = npad // block_n
+    n_tiles = npad // tile_n
+    # scoring subtile: largest power-of-two <= 1024 dividing Bpad (Bpad is
+    # always a multiple of 128)
+    b_sub = 1024
+    while b % b_sub:
+        b_sub //= 2
 
     kernel = functools.partial(
         _adc_segmin_kernel, m=m, k_sub=k_sub, ds=ds, group=group,
-        tile_n=tile_n, seg=seg, n_super=n_super, n_valid=n_valid)
-    out_rows = block_n // seg          # = 128 rows per grid step
+        tile_n=tile_n, seg=seg, b_sub=b_sub)
+    out_rows = tile_n // seg
+    nv = jnp.full((1,), n_valid, jnp.int32)
     segmin, segarg = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((mpad, block_n), lambda i: (0, i),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((mpad, tile_n), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -158,14 +171,17 @@ def _adc_segmin(q2, codes_t, cbt_g, n_valid, tile_n, seg, group, interpret):
             jax.ShapeDtypeStruct((npad // seg, b), jnp.float32),
             jax.ShapeDtypeStruct((npad // seg, b), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((d, tile_n), jnp.bfloat16)],
+        scratch_shapes=[
+            pltpu.VMEM((group * k_sub, tile_n), jnp.int8),
+            pltpu.VMEM((d, tile_n), jnp.bfloat16),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * (k_sub * d * group + d * b),
             bytes_accessed=npad * mpad * 4 + 2 * b * npad // seg * 4,
             transcendentals=0,
         ),
-    )(codes_t, cbt_g, q2)
+    )(nv, codes_t, cbt_q, q2s, s2)
     return segmin, segarg
 
 
@@ -198,21 +214,29 @@ def _rescore_segments(q, q_sq, seg_ids, codes, dec_sq, codebooks, k, seg,
     return -neg, ids
 
 
+def _fold_queries(q, srow):
+    """q [B, D] f32 -> (-2 * q * scale_row) bf16, padded to B % 128 == 0."""
+    b = q.shape[0]
+    bpad = -(-b // 128) * 128
+    q2s = (-2.0 * q * srow[None, :]).astype(jnp.bfloat16)
+    if bpad != b:
+        q2s = jnp.pad(q2s, ((0, bpad - b), (0, 0)))
+    return q2s
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "n_valid", "tile_n", "seg", "group",
                               "interpret"))
-def _adc_search_fast(q, codes_t, cbt_g, k, n_valid, tile_n, seg, group,
-                     interpret):
+def _adc_search_fast(q, codes_t, cbt_q, srow, k, n_valid, tile_n, seg,
+                     group, interpret):
     """One fused jit: query prep + segmin kernel + selection (the eager
     per-op dispatch overhead of a split pipeline dwarfed the kernel)."""
     b = q.shape[0]
     q_sq = jnp.sum(jnp.square(q), axis=-1)
-    bpad = -(-b // 128) * 128
-    q2 = (-2.0 * q).astype(jnp.bfloat16)
-    if bpad != b:
-        q2 = jnp.pad(q2, ((0, bpad - b), (0, 0)))
-    segmin, segarg = _adc_segmin(q2, codes_t, cbt_g, n_valid, tile_n, seg,
-                                 group, interpret)       # [Npad/seg, Bpad]
+    q2s = _fold_queries(q, srow)
+    s2 = (srow * srow)[:, None]
+    segmin, segarg = _adc_segmin(q2s, codes_t, cbt_q, s2, n_valid, tile_n,
+                                 seg, group, interpret)  # [Npad/seg, Bpad]
     segmin, segarg = segmin.T[:b], segarg.T[:b]
     neg, j = jax.lax.top_k(-segmin, k)
     ids = jnp.take_along_axis(segarg, j, axis=-1)
@@ -222,16 +246,14 @@ def _adc_search_fast(q, codes_t, cbt_g, k, n_valid, tile_n, seg, group,
 @functools.partial(
     jax.jit, static_argnames=("k", "n_valid", "tile_n", "seg", "group",
                               "slack", "interpret"))
-def _adc_search_exact(q, codes_t, cbt_g, codes, dec_sq, codebooks, k,
+def _adc_search_exact(q, codes_t, cbt_q, srow, codes, dec_sq, codebooks, k,
                       n_valid, tile_n, seg, group, slack, interpret):
     b = q.shape[0]
     q_sq = jnp.sum(jnp.square(q), axis=-1)
-    bpad = -(-b // 128) * 128
-    q2 = (-2.0 * q).astype(jnp.bfloat16)
-    if bpad != b:
-        q2 = jnp.pad(q2, ((0, bpad - b), (0, 0)))
-    segmin, segarg = _adc_segmin(q2, codes_t, cbt_g, n_valid, tile_n, seg,
-                                 group, interpret)
+    q2s = _fold_queries(q, srow)
+    s2 = (srow * srow)[:, None]
+    segmin, _ = _adc_segmin(q2s, codes_t, cbt_q, s2, n_valid, tile_n,
+                            seg, group, interpret)
     segmin = segmin.T[:b]
     n_seg_take = min(k + slack, segmin.shape[1])
     _, seg_ids = jax.lax.top_k(-segmin, n_seg_take)      # [B, S]
@@ -240,7 +262,7 @@ def _adc_search_exact(q, codes_t, cbt_g, codes, dec_sq, codebooks, k,
 
 
 def adc_search(q, q_sq, codes, dec_sq, codebooks, k, n_valid, *,
-               codes_t=None, cbt_g=None, group=None,
+               codes_t=None, cbt_q=None, srow=None, group=None,
                tile_n: int | None = None, seg: int = 128,
                slack: int = 4, exact: bool = False,
                interpret: bool | None = None):
@@ -250,8 +272,8 @@ def adc_search(q, q_sq, codes, dec_sq, codebooks, k, n_valid, *,
     exact top-1 always; for k > 1 a segment holding two true winners
     contributes only its best (probability ~ k^2/(2 N/seg), negligible at
     scale). exact=True re-scores the k+slack winning segments in f32 for
-    guaranteed exact top-k (w.r.t. phase-1 bf16 scoring). Any k <= seg.
-    q_sq may be None (recomputed inside the fused jit).
+    guaranteed exact top-k (w.r.t. phase-1 quantized scoring). Any
+    k <= seg. q_sq may be None (recomputed inside the fused jit).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -268,31 +290,42 @@ def adc_search(q, q_sq, codes, dec_sq, codebooks, k, n_valid, *,
         raise ValueError(f"npad {npad} must be a multiple of {tile_n}")
     if k > seg:
         raise ValueError(f"two-phase path requires k <= seg ({seg})")
-    if cbt_g is None:
-        cbt_g, group = _group_codebooks(codebooks)
+    if cbt_q is None:
+        cbt_q, srow, group = _group_codebooks(codebooks)
     q = jnp.asarray(q, jnp.float32)
 
     if not exact:
-        return _adc_search_fast(q, codes_t, cbt_g, k, n_valid, tile_n,
-                                seg, group, interpret)
-    return _adc_search_exact(q, codes_t, cbt_g, jnp.asarray(codes),
+        return _adc_search_fast(q, codes_t, cbt_q, srow, k, n_valid,
+                                tile_n, seg, group, interpret)
+    return _adc_search_exact(q, codes_t, cbt_q, srow, jnp.asarray(codes),
                              dec_sq, codebooks, k, n_valid, tile_n, seg,
                              group, slack, interpret)
 
 
-def _group_codebooks(codebooks) -> tuple[jax.Array, int]:
-    """[M, K, ds] -> block-diagonal grouped [G, g*ds, g*K] bf16.
+def _group_codebooks(codebooks) -> tuple[jax.Array, jax.Array, int]:
+    """[M, K, ds] f32 -> (cbt_q [G, g*ds, g*K] int8 block-diagonal
+    transposed codebooks, srow [D] f32 per-dim dequant scales, g).
 
-    Group size targets >= 64 output sublanes per decode matmul (measured
-    2x faster than the minimal 16-sublane grouping on v5e despite the
-    block-diagonal zero padding), rounded up to a divisor of M."""
+    Per-subspace symmetric int8 quantization: cb[m] / scale[m] rounded to
+    [-127, 127]; the scale is folded into the query operand at search time
+    (and squared into the norm reduction), so decode stays pure int8.
+    g is chosen so g*ds = 128 — the full MXU sublane count (measured ~2x
+    faster than minimal 16-sublane grouping despite block-diagonal zeros).
+    """
     m, k_sub, ds = codebooks.shape
-    g = min(m, max(1, -(-64 // ds)))
+    cb = np.asarray(codebooks, np.float32)
+    g = max(1, min(m, 128 // ds))
     while m % g:
-        g += 1
-    cbt = np.zeros((m // g, g * ds, g * k_sub), np.float32)
-    cb = np.asarray(codebooks)
+        g -= 1
+    # PER-DIM symmetric scales (max over the K codewords only): measured
+    # top-1 agreement with the f32 ADC engine jumps vs per-subspace scales
+    scales = np.abs(cb).max(axis=1) / 127.0               # [M, ds]
+    scales = np.maximum(scales, 1e-12)
+    cb_q = np.clip(np.rint(cb / scales[:, None, :]), -127, 127)
+    cbt = np.zeros((m // g, g * ds, g * k_sub), np.int8)
     for mm in range(m):
         gi, j = divmod(mm, g)
-        cbt[gi, j * ds:(j + 1) * ds, j * k_sub:(j + 1) * k_sub] = cb[mm].T
-    return jnp.asarray(cbt, jnp.bfloat16), g
+        cbt[gi, j * ds:(j + 1) * ds, j * k_sub:(j + 1) * k_sub] = (
+            cb_q[mm].T.astype(np.int8))
+    srow = scales.reshape(m * ds).astype(np.float32)      # [D]
+    return jnp.asarray(cbt), jnp.asarray(srow), g

@@ -1,0 +1,410 @@
+"""Multi-host sharded ADC serving (BASELINE config 5).
+
+The reference has no distributed runtime at all (SURVEY §2.5/§5.8 — its
+parallelism is OpenMP threads); this module is the new surface the
+TPU-native build adds: a 100M-code database sharded over every chip of a
+multi-host pod slice, continuous query batching, and collective top-k
+merge over ICI/DCN.
+
+Components:
+  * init_distributed() — jax.distributed.initialize wrapper (the
+    process-per-host runtime; idempotent, no-op for single-process).
+  * MultiHostADCServer — code shards ingested PER HOST (each process
+    device_puts only its local rows via
+    jax.make_array_from_process_local_data), one jitted shard_map serve
+    step per query batch running the fused Pallas scan on each shard,
+    candidates merged over the mesh with either one all_gather or a
+    ppermute ring (`merge='ring'`) whose exchange overlaps the next
+    micro-batch's scan in serve_pipelined().
+  * QueryBatcher — continuous batching front-end: callers submit
+    individual query rows/blocks; a background flusher pads to the
+    serving batch and fans results back out through futures.
+
+Device order in the mesh is host-major (jax.devices() order), so ring
+neighbors are intra-host over ICI except at host boundaries (DCN).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import Future
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cvt_tpu.ops.topk import merge_topk
+from cvt_tpu.parallel.sharded_search import _local_pallas_topk
+from cvt_tpu.quant.opq import OPQ
+from cvt_tpu.quant.pq import ProductQuantizer
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Initialize the JAX multi-host runtime (idempotent).
+
+    With no arguments, reads the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) or
+    cluster auto-detection; single-process when none are set. Returns the
+    process index.
+    """
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if num_processes > 1 and jax.process_count() == 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address
+            or os.environ.get("JAX_COORDINATOR_ADDRESS"),
+            num_processes=num_processes,
+            process_id=(process_id if process_id is not None
+                        else int(os.environ.get("JAX_PROCESS_ID", "0"))))
+    return jax.process_index()
+
+
+def serving_mesh(devices=None, axis: str = "db") -> Mesh:
+    """1-D mesh over every chip of every host, host-major order (ring
+    neighbors stay on-ICI except at host boundaries)."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def ring_merge_topk(d, i, axis: str, k: int):
+    """Ring all-reduce with merge_topk as the reduction: S-1 ppermute
+    steps rotate every shard's local candidates once around the ring;
+    each stop merges into the local accumulator. Equivalent result to
+    all_gather+top_k, but each step moves only [B, k] and the exchanges
+    can overlap other compute (XLA async collective-permute)."""
+    s = jax.lax.axis_size(axis)
+    perm = [(j, (j + 1) % s) for j in range(s)]
+    d_acc, i_acc, d_buf, i_buf = d, i, d, i
+    for _ in range(s - 1):
+        d_buf = jax.lax.ppermute(d_buf, axis, perm)
+        i_buf = jax.lax.ppermute(i_buf, axis, perm)
+        d_acc, i_acc = merge_topk(
+            jnp.concatenate([d_acc, d_buf], axis=-1),
+            jnp.concatenate([i_acc, i_buf], axis=-1), k)
+    return d_acc, i_acc
+
+
+class MultiHostADCServer:
+    """Sharded flat-ADC serving over all chips of a (multi-host) mesh.
+
+    The code matrix is sharded along N over the mesh 'db' axis; each
+    shard runs the production Pallas kernel; candidates merge via
+    all_gather (default) or a ppermute ring. On non-TPU backends the
+    kernel runs in interpret mode (functional parity for tests).
+    """
+
+    def __init__(self, quantizer, mesh: Mesh | None = None, *,
+                 axis: str = "db", merge: str = "allgather",
+                 tile_n: int = 1024, seg: int = 128):
+        if isinstance(quantizer, OPQ):
+            self.pq = quantizer.pq
+            self.rotation = quantizer.rotation
+        elif isinstance(quantizer, ProductQuantizer):
+            self.pq = quantizer
+            self.rotation = None
+        else:
+            raise TypeError(type(quantizer))
+        if merge not in ("allgather", "ring"):
+            raise ValueError(merge)
+        self.mesh = mesh if mesh is not None else serving_mesh()
+        self.axis = axis
+        self.merge = merge
+        self.tile_n = tile_n
+        self.seg = seg
+        self._codes_t = None          # [M, Npad] int32, sharded P(None, db)
+        self._n = 0
+        self._serve_cache: dict = {}
+        from cvt_tpu.ops.pallas.adc_scan import _group_codebooks
+        self._cbt_q, self._srow, self._group = _group_codebooks(
+            self.pq.codebooks)
+
+    # ------------------------------------------------------------ ingest
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    def shard_rows(self, n_global: int) -> tuple[int, int, int]:
+        """(start, stop, per_shard) of THIS PROCESS's row range for a
+        database of n_global rows (host-sharded ingestion contract: each
+        process loads rows [start, stop) itself)."""
+        per = self._per_shard(n_global)
+        procs = jax.process_count()
+        shards_per_proc = self.n_shards // procs
+        p = jax.process_index()
+        start = p * shards_per_proc * per
+        stop = min((p + 1) * shards_per_proc * per, n_global)
+        return start, min(start, stop) if stop < start else stop, per
+
+    def _per_shard(self, n: int) -> int:
+        s = self.n_shards
+        per = -(-n // s)
+        # each shard must be tile-aligned for the kernel grid
+        t = max(self.tile_n, self.seg)
+        return -(-per // t) * t
+
+    def _rotate(self, x):
+        x = jnp.asarray(x, jnp.float32)
+        if self.rotation is None:
+            return x
+        return jnp.matmul(x, self.rotation,
+                          preferred_element_type=jnp.float32)
+
+    def encode(self, x) -> np.ndarray:
+        """Raw floats -> [N, M] uint8 codes (rotated space)."""
+        return np.asarray(self.pq.encode(self._rotate(x)))
+
+    def load_local(self, local_codes, *, n_global: int | None = None):
+        """Per-host shard ingestion: THIS process supplies only its local
+        rows (uint8 [n_local, M], already encoded, covering shard_rows()).
+        Single-process callers just pass the whole code matrix.
+
+        Builds the global [M, Npad] transposed int32 array without any
+        process ever holding the full database.
+        """
+        local = np.asarray(local_codes, np.uint8)
+        if n_global is None:
+            n_global = local.shape[0] * jax.process_count()
+        per = self._per_shard(n_global)
+        npad = per * self.n_shards
+        procs = jax.process_count()
+        local_rows = npad // procs
+        if local.shape[0] < local_rows:     # pad this host's tail shard
+            local = np.concatenate(
+                [local, np.zeros((local_rows - local.shape[0],
+                                  local.shape[1]), np.uint8)], axis=0)
+        # transposed int32 layout the kernel consumes, sharded on axis 1
+        lt = np.ascontiguousarray(local.astype(np.int32).T)  # [M, rows]
+        m = lt.shape[0]
+        mpad = -(-m // 8) * 8
+        if mpad != m:
+            lt = np.concatenate(
+                [lt, np.zeros((mpad - m, lt.shape[1]), np.int32)], axis=0)
+        sh = NamedSharding(self.mesh, P(None, self.axis))
+        self._codes_t = jax.make_array_from_process_local_data(
+            sh, lt, (mpad, npad))
+        self._n = n_global
+        self._per = per
+        self._serve_cache.clear()
+
+    def load(self, x=None, *, codes=None) -> None:
+        """Convenience single-process load from raw floats or codes."""
+        if codes is None:
+            codes = self.encode(x)
+        self.load_local(codes, n_global=np.asarray(codes).shape[0])
+
+    # ------------------------------------------------------------- serve
+    def _interpret(self) -> bool:
+        """Interpret-mode Pallas off-TPU, decided by the MESH's devices
+        (not the default backend: the mesh may be a virtual CPU mesh while
+        a real TPU chip is the default backend)."""
+        return self.mesh.devices.flat[0].platform != "tpu"
+
+    def _build(self, k: int, b: int):
+        axis, per, merge = self.axis, self._per, self.merge
+        tile_n = min(self.tile_n, per)
+        seg = min(self.seg, tile_n)
+        # enough segments per shard for k distinct local candidates
+        while per // seg < k and seg > 8:
+            seg //= 2
+        group = self._group
+        interpret = self._interpret()
+        mesh = self.mesh
+        n = self._n
+
+        def body(qr, codes_t_l, cbt_q, srow):
+            shard = jax.lax.axis_index(axis)
+            # rows beyond this shard's valid range (last shard's padding)
+            # are masked to BIG inside the kernel via dynamic n_valid
+            start = shard * per
+            n_valid_l = jnp.clip(n - start, 0, per)
+            d, i = _local_pallas_topk(qr, codes_t_l, cbt_q, srow, k,
+                                      n_valid_l, tile_n, seg, group,
+                                      interpret)
+            gid = i + start
+            if merge == "ring":
+                return ring_merge_topk(d, gid, axis, k)
+            d_all = jax.lax.all_gather(d, axis, axis=1)
+            i_all = jax.lax.all_gather(gid, axis, axis=1)
+            bl = d.shape[0]
+            return merge_topk(d_all.reshape(bl, -1),
+                              i_all.reshape(bl, -1), k)
+
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(None, axis), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,     # merged results replicated over db
+        ))
+        return fn
+
+    def serve(self, q, k: int):
+        """One serving step: q [B, D] raw space -> (dists, global ids)."""
+        if self._codes_t is None:
+            raise RuntimeError("load() first")
+        qr = self._rotate(q)
+        key = (k, qr.shape[0])
+        if key not in self._serve_cache:
+            self._serve_cache[key] = self._build(k, qr.shape[0])
+        rep = NamedSharding(self.mesh, P())
+        qr = jax.device_put(qr, rep)
+        d, i = self._serve_cache[key](qr, self._codes_t, self._cbt_q,
+                                      self._srow)
+        return d, jnp.where(i < self._n, i, -1)
+
+    def serve_pipelined(self, q_microbatches, k: int):
+        """Double-buffered serving over T micro-batches: micro-batch t's
+        ring exchange is issued in the same step as micro-batch t+1's
+        scan, so the ppermute rides the ICI while the MXU scans (XLA
+        async collective-permute does the overlap). Requires merge='ring'.
+
+        q_microbatches: [T, B_mb, D]. Returns (dists [T*B_mb, k], ids).
+        """
+        if self.merge != "ring":
+            raise ValueError("serve_pipelined requires merge='ring'")
+        if self._codes_t is None:
+            raise RuntimeError("load() first")
+        qs = jnp.asarray(q_microbatches, jnp.float32)
+        t, b_mb, d_dim = qs.shape
+        axis, per = self.axis, self._per
+        tile_n = min(self.tile_n, per)
+        seg = min(self.seg, tile_n)
+        while per // seg < k and seg > 8:
+            seg //= 2
+        group = self._group
+        interpret = self._interpret()
+        n = self._n
+        k_ = k
+
+        def body(qs, codes_t_l, cbt_q, srow):
+            shard = jax.lax.axis_index(axis)
+            start = shard * per
+            n_valid_l = jnp.clip(n - start, 0, per)
+
+            def scan_one(q_mb):
+                d, i = _local_pallas_topk(q_mb, codes_t_l, cbt_q, srow,
+                                          k_, n_valid_l, tile_n, seg,
+                                          group, interpret)
+                return d, i + start
+
+            def step(carry, q_mb):
+                prev_d, prev_i = carry
+                # issue the previous micro-batch's ring exchange and the
+                # current micro-batch's scan in the same step — no data
+                # dependence between them, XLA overlaps the collective
+                out_d, out_i = ring_merge_topk(prev_d, prev_i, axis, k_)
+                cur_d, cur_i = scan_one(q_mb)
+                return (cur_d, cur_i), (out_d, out_i)
+
+            d0, i0 = scan_one(qs[0])
+            (last_d, last_i), (outs_d, outs_i) = jax.lax.scan(
+                step, (d0, i0), qs[1:])
+            fin_d, fin_i = ring_merge_topk(last_d, last_i, axis, k_)
+            outs_d = jnp.concatenate([outs_d, fin_d[None]], axis=0)
+            outs_i = jnp.concatenate([outs_i, fin_i[None]], axis=0)
+            return outs_d, outs_i
+
+        rot = self._rotate(qs.reshape(t * b_mb, d_dim)).reshape(
+            t, b_mb, -1)
+        fn = jax.jit(jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(), P(None, axis), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        rep = NamedSharding(self.mesh, P())
+        rot = jax.device_put(rot, rep)
+        dd, ii = fn(rot, self._codes_t, self._cbt_q, self._srow)
+        dd = dd.reshape(t * b_mb, k_)
+        ii = ii.reshape(t * b_mb, k_)
+        return dd, jnp.where(ii < self._n, ii, -1)
+
+
+class QueryBatcher:
+    """Continuous query batching: callers submit [n_i, D] blocks; a
+    background flusher concatenates them into fixed serving batches
+    (padding the tail), runs `serve_fn`, and resolves per-caller futures.
+
+    The TPU analogue of a serving front-end's dynamic batcher: fixed
+    batch shape (one compiled executable), flush on size or deadline.
+    """
+
+    def __init__(self, serve_fn, batch_size: int = 1024, k: int = 10,
+                 max_wait_ms: float = 5.0):
+        self.serve_fn = serve_fn
+        self.batch_size = batch_size
+        self.k = k
+        self.max_wait = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, q) -> Future:
+        """q [n, D] -> Future of (dists [n, k], ids [n, k])."""
+        q = np.asarray(q, np.float32)
+        fut: Future = Future()
+        self._q.put((q, fut))
+        return fut
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+    def _loop(self) -> None:
+        import time as _time
+        pending: list = []
+        n_pend = 0
+        deadline = None
+        while not self._stop.is_set() or pending or not self._q.empty():
+            timeout = self.max_wait
+            if deadline is not None:
+                timeout = max(deadline - _time.monotonic(), 0.0)
+            try:
+                item = self._q.get(timeout=timeout if pending else 0.05)
+                pending.append(item)
+                n_pend += item[0].shape[0]
+                if deadline is None:
+                    deadline = _time.monotonic() + self.max_wait
+            except queue.Empty:
+                pass
+            flush = pending and (
+                n_pend >= self.batch_size
+                or (deadline is not None
+                    and _time.monotonic() >= deadline)
+                or self._stop.is_set())
+            if flush:
+                self._flush(pending)
+                pending, n_pend, deadline = [], 0, None
+
+    def _flush(self, pending) -> None:
+        qs = np.concatenate([p[0] for p in pending], axis=0)
+        n = qs.shape[0]
+        bs = self.batch_size
+        try:
+            outs_d, outs_i = [], []
+            for s in range(0, n, bs):
+                blk = qs[s:s + bs]
+                if blk.shape[0] < bs:
+                    blk = np.concatenate(
+                        [blk, np.zeros((bs - blk.shape[0], blk.shape[1]),
+                                       np.float32)], axis=0)
+                d, i = self.serve_fn(blk, self.k)
+                outs_d.append(np.asarray(d))
+                outs_i.append(np.asarray(i))
+            d = np.concatenate(outs_d, axis=0)[:n]
+            i = np.concatenate(outs_i, axis=0)[:n]
+            off = 0
+            for q, fut in pending:
+                m = q.shape[0]
+                fut.set_result((d[off:off + m], i[off:off + m]))
+                off += m
+        except Exception as e:               # propagate to every caller
+            for _, fut in pending:
+                if not fut.done():
+                    fut.set_exception(e)

@@ -31,6 +31,39 @@ from cvt_tpu.quant.opq import OPQ
 from cvt_tpu.quant.pq import ProductQuantizer
 
 
+_BIG = np.float32(3.4e38)
+
+
+def _local_pallas_topk(q, codes_t_l, cbt_q, srow, k, n_valid, tile_n, seg,
+                       group, interpret):
+    """Per-shard fused Pallas scan + local top-k (ids local to shard).
+
+    The production kernel in the shard_map body (VERDICT round-1 item 6):
+    codes_t_l [M, per] int32 is this shard's transposed code slice.
+    n_valid may be traced (per-shard row count under shard_map) — the
+    kernel masks invalid rows to BIG via its SMEM scalar. When the shard
+    has fewer segments than k, candidates are padded to k columns with
+    (BIG, 2^30) so the cross-shard merge shapes stay uniform.
+    """
+    from cvt_tpu.ops.pallas.adc_scan import _adc_segmin, _fold_queries
+    b = q.shape[0]
+    q_sq = jnp.sum(jnp.square(q), axis=-1)
+    q2s = _fold_queries(q, srow)
+    s2 = (srow * srow)[:, None]
+    segmin, segarg = _adc_segmin(q2s, codes_t_l, cbt_q, s2, n_valid,
+                                 tile_n, seg, group, interpret)
+    segmin, segarg = segmin.T[:b], segarg.T[:b]
+    kk = min(k, segmin.shape[1])
+    neg, j = jax.lax.top_k(-segmin, kk)
+    ids = jnp.take_along_axis(segarg, j, axis=-1)
+    d = -neg + q_sq[:, None]
+    if kk < k:
+        d = jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=_BIG)
+        ids = jnp.pad(ids, ((0, 0), (0, k - kk)),
+                      constant_values=np.int32(2 ** 30))
+    return d, ids
+
+
 def _local_scan(q, q_sq, codes, dec_sq, codebooks, *, k, chunk, n_local,
                 axis: str):
     """Per-shard body: local ADC scan + id globalization + gather-merge."""
@@ -86,10 +119,15 @@ class ShardedADCSearcher:
 
     Queries are replicated across shards; the database is split evenly
     (padded) along N. search() is one jitted shard_map step.
+
+    impl: 'pallas' runs the production fused kernel in every shard body
+    (interpret mode off-TPU); 'xla' the pure-XLA engine; 'auto' picks by
+    the MESH's device platform.
     """
 
     def __init__(self, quantizer, mesh: Mesh, *, axis: str = "db",
-                 chunk: int = 16384):
+                 chunk: int = 16384, impl: str = "auto",
+                 tile_n: int = 1024, seg: int = 128):
         if isinstance(quantizer, OPQ):
             self.pq = quantizer.pq
             self.rotation = quantizer.rotation
@@ -98,12 +136,24 @@ class ShardedADCSearcher:
             self.rotation = None
         else:
             raise TypeError(type(quantizer))
+        if impl not in ("auto", "xla", "pallas"):
+            raise ValueError(impl)
         self.mesh = mesh
         self.axis = axis
         self.chunk = chunk
+        self.tile_n = tile_n
+        self.seg = seg
+        self.impl = impl
         self._codes = None
         self._dec_sq = None
+        self._codes_t = None
         self._n = 0
+
+    def _resolve_impl(self) -> str:
+        if self.impl != "auto":
+            return self.impl
+        return ("pallas"
+                if self.mesh.devices.flat[0].platform == "tpu" else "xla")
 
     @property
     def n_shards(self) -> int:
@@ -125,22 +175,40 @@ class ShardedADCSearcher:
         n = codes.shape[0]
         s = self.n_shards
         per = -(-n // s)
-        per = -(-per // self.chunk) * self.chunk  # chunk-align each shard
+        align = self.chunk
+        if self._resolve_impl() == "pallas":
+            align = max(align, self.tile_n, self.seg)
+        per = -(-per // align) * align            # align each shard
         pad = per * s - n
         if pad:
             codes = np.concatenate(
                 [codes, np.zeros((pad, codes.shape[1]), np.uint8)], axis=0)
-        cbn = np.asarray(self.pq.codeword_sqnorms())
-        dsq = cbn[np.arange(codes.shape[1])[None, :],
-                  codes.astype(np.int64)].sum(axis=1).astype(np.float32)
-        # padding rows carry an effectively-infinite norm so they can
-        # never win a top-k slot on any shard
-        if pad:
-            dsq[n:] = 3.4e38
-        sh = NamedSharding(self.mesh, P(self.axis, None))
-        sh1 = NamedSharding(self.mesh, P(self.axis))
-        self._codes = jax.device_put(codes, sh)
-        self._dec_sq = jax.device_put(dsq, sh1)
+        if self._resolve_impl() == "pallas":
+            # transposed int32 layout the kernel consumes, sublane-padded
+            lt = np.ascontiguousarray(codes.astype(np.int32).T)
+            m = lt.shape[0]
+            mpad = -(-m // 8) * 8
+            if mpad != m:
+                lt = np.concatenate(
+                    [lt, np.zeros((mpad - m, lt.shape[1]), np.int32)],
+                    axis=0)
+            self._codes_t = jax.device_put(
+                lt, NamedSharding(self.mesh, P(None, self.axis)))
+            from cvt_tpu.ops.pallas.adc_scan import _group_codebooks
+            self._cbt_q, self._srow, self._group = _group_codebooks(
+                self.pq.codebooks)
+        else:
+            cbn = np.asarray(self.pq.codeword_sqnorms())
+            dsq = cbn[np.arange(codes.shape[1])[None, :],
+                      codes.astype(np.int64)].sum(axis=1).astype(np.float32)
+            # padding rows carry an effectively-infinite norm so they can
+            # never win a top-k slot on any shard
+            if pad:
+                dsq[n:] = 3.4e38
+            sh = NamedSharding(self.mesh, P(self.axis, None))
+            sh1 = NamedSharding(self.mesh, P(self.axis))
+            self._codes = jax.device_put(codes, sh)
+            self._dec_sq = jax.device_put(dsq, sh1)
         self._n = n
         self._per_shard = per
         self._search_fn = None
@@ -150,7 +218,35 @@ class ShardedADCSearcher:
         per = self._per_shard
         chunk = min(self.chunk, per)
         mesh = self.mesh
-        pq = self.pq
+        n = self._n
+
+        if self._resolve_impl() == "pallas":
+            tile_n = min(self.tile_n, per)
+            seg = min(self.seg, tile_n)
+            while per // seg < k and seg > 8:
+                seg //= 2
+            group = self._group
+            interpret = mesh.devices.flat[0].platform != "tpu"
+
+            def body(qr, codes_t_l, cbt_q, srow):
+                start = jax.lax.axis_index(axis) * per
+                n_valid_l = jnp.clip(n - start, 0, per)
+                d, i = _local_pallas_topk(qr, codes_t_l, cbt_q, srow, k,
+                                          n_valid_l, tile_n, seg, group,
+                                          interpret)
+                gid = i + start
+                d_all = jax.lax.all_gather(d, axis, axis=1)
+                i_all = jax.lax.all_gather(gid, axis, axis=1)
+                bl = d.shape[0]
+                return merge_topk(d_all.reshape(bl, -1),
+                                  i_all.reshape(bl, -1), k)
+
+            return jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(None, axis), P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,  # merged results replicated over 'db'
+            ))
 
         @jax.jit
         def searcher(q, codes, dec_sq, codebooks):
@@ -171,7 +267,7 @@ class ShardedADCSearcher:
         """q [B, D] raw space -> (dists [B, k], global ids [B, k]).
         Padding rows rank last only if real rows fill the top-k; ids >= n
         never appear for k <= n."""
-        if self._codes is None:
+        if self._codes is None and self._codes_t is None:
             raise RuntimeError("load() first")
         if self._search_fn is None or self._search_k != k:
             self._search_fn = self._build_search(k)
@@ -180,7 +276,11 @@ class ShardedADCSearcher:
         # place replicated operands on the mesh
         rep = NamedSharding(self.mesh, P())
         qr = jax.device_put(qr, rep)
-        cb = jax.device_put(self.pq.codebooks, rep)
-        d, i = self._search_fn(qr, self._codes, self._dec_sq, cb)
+        if self._resolve_impl() == "pallas":
+            d, i = self._search_fn(qr, self._codes_t, self._cbt_q,
+                                   self._srow)
+        else:
+            cb = jax.device_put(self.pq.codebooks, rep)
+            d, i = self._search_fn(qr, self._codes, self._dec_sq, cb)
         # drop padding hits (only possible when k > per-shard valid rows)
         return d, jnp.where(i < self._n, i, -1)

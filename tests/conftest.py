@@ -2,11 +2,19 @@
 
 Must set the env vars BEFORE jax is imported anywhere (SURVEY.md §4's
 multi-host testing recipe the reference lacks).
+
+The platform is FORCED to cpu (the driver environment presets
+JAX_PLATFORMS=axon, which would silently move the whole suite onto the
+one real TPU chip and break every 8-device mesh test). The real-hardware
+lane is explicit opt-in:
+
+    CVT_TPU_TEST_PLATFORM=tpu pytest tests/test_pallas.py tests/test_adc_index.py
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = os.environ.get(
+    "CVT_TPU_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

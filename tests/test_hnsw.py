@@ -84,3 +84,20 @@ def test_incremental_and_small_k(small_db):
     assert lab[0, 0] == 0 and d[0, 0] < 1e-5      # self-query hits itself
     assert np.all(lab[0, 3:] == -1)               # padded slots
     assert np.all(np.isinf(d[0, 3:]))
+
+
+def test_concurrent_add_stress():
+    """Parallel OpenMP insert must not corrupt the heap: the visited-set
+    is sized to capacity (not the racing count) and neighbor lists are
+    copied under the node lock during insert-time beam search."""
+    from cvt_tpu.index.hnsw import HnswIndex
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20000, 16)).astype(np.float32)
+    idx = HnswIndex(16, capacity=len(base), m=12, ef_construction=60,
+                    seed=1)
+    idx.add(base, num_threads=8)
+    assert len(idx) == len(base)
+    q = base[:100]
+    d, lab = idx.search(q, k=1, ef=60)
+    # self-queries: the point itself must be found almost always
+    assert (lab[:, 0] == np.arange(100)).mean() >= 0.95

@@ -86,17 +86,39 @@ def test_n_not_multiple_of_tile(small_pq):
         assert np.all(np.isfinite(np.asarray(d))), exact
 
 
+def _f32_adc_top1(pq, codes, q):
+    """True full-precision ADC top-1 (numpy): the reference semantics
+    both engines approximate (XLA engine: bf16 decode; Pallas fast path:
+    int8 decode)."""
+    cb = np.asarray(pq.codebooks)
+    m, _, ds = cb.shape
+    codes = np.asarray(codes)
+    q = np.asarray(q, np.float32)
+    b = q.shape[0]
+    qs = q.reshape(b, m, ds)
+    ip = np.einsum("bms,mks->bmk", qs, cb)
+    cbn = (cb ** 2).sum(-1)                                   # [M, K]
+    dsq = cbn[np.arange(m)[None, :], codes].sum(-1)           # [N]
+    cross = ip[np.arange(b)[:, None, None], np.arange(m)[None, None, :],
+               codes[None, :, :]].sum(-1)                     # [B, N]
+    dist = (q ** 2).sum(-1)[:, None] + dsq[None, :] - 2.0 * cross
+    return dist.argmin(1)
+
+
 def test_flat_adc_index_pallas_impl(small_pq):
     """FlatADCIndex(impl='pallas') drives the kernel through the index
-    API (interpret mode auto-selected off-TPU)."""
+    API (interpret mode auto-selected off-TPU). Both the fast int8 path
+    and the exact f32-rescore path are checked against TRUE f32 ADC
+    ground truth (not against the bf16 XLA engine, which is itself an
+    approximation)."""
     pq, base, queries = small_pq
+    gt1 = _f32_adc_top1(pq, pq.encode(base), queries[:16])
     idx = FlatADCIndex(pq, impl="pallas")
     idx.add(base)
     d, i = idx.search(queries[:16], 10)
-    idx_x = FlatADCIndex(pq, chunk=1024, impl="xla")
-    idx_x.add(codes=pq.encode(base))
-    d2, i2 = idx_x.search(queries[:16], 10)
-    assert (np.asarray(i)[:, 0] == np.asarray(i2)[:, 0]).mean() > 0.9
+    assert (np.asarray(i)[:, 0] == gt1).mean() >= 0.9
+    d_e, i_e = idx.search(queries[:16], 10, exact=True)
+    assert (np.asarray(i_e)[:, 0] == gt1).mean() == 1.0
 
 
 def test_fast_path_exact_for_top1(small_pq):

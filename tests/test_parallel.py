@@ -36,6 +36,22 @@ def test_sharded_search_matches_single_device(trained):
     assert (np.asarray(i_s)[:, 0] == np.asarray(i_r)[:, 0]).mean() > 0.95
 
 
+def test_sharded_search_pallas_impl(trained):
+    """The production Pallas kernel inside the shard_map body (interpret
+    mode on the CPU mesh) matches the XLA shard body at top-1."""
+    pq, base, queries = trained
+    mesh = cpu_mesh({"db": 4})
+    s = ShardedADCSearcher(pq, mesh, chunk=512, impl="pallas", tile_n=256,
+                           seg=64)
+    s.load(base)
+    d, i = s.search(queries[:16], 10)
+    s_x = ShardedADCSearcher(pq, mesh, chunk=512, impl="xla")
+    s_x.load(base)
+    d_x, i_x = s_x.search(queries[:16], 10)
+    assert (np.asarray(i)[:, 0] == np.asarray(i_x)[:, 0]).mean() >= 0.85
+    assert np.asarray(i).max() < base.shape[0]
+
+
 def test_sharded_search_n_not_divisible(trained):
     """Database size not divisible by the shard count: padding rows must
     never surface."""

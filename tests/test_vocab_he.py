@@ -140,3 +140,39 @@ def test_overflow_tail_scored_exactly(rng):
     # tail pass makes the tiny-capped index score identically
     assert n1 == n2
     np.testing.assert_allclose(s1, s2, rtol=1e-4)
+
+
+def test_hierarchical_vocab_retrieval():
+    """VocabHEIndex with a hierarchical two-level vocabulary: self-query
+    ranks itself first, and save/load roundtrips the tree."""
+    import tempfile, os
+    rng = np.random.default_rng(3)
+    train = rng.gamma(1.5, 20.0, size=(4096, 128)).astype(np.float32)
+    images = [np.clip(train[rng.integers(0, 4096, 48)]
+                      + rng.normal(0, 2.0, (48, 128)), 0, 255)
+              .astype(np.float32) for _ in range(8)]
+    idx = VocabHEIndex(n_words=256, hierarchical=True, probes=4)
+    assert idx.hierarchical
+    idx.train(jax.random.key(0), train, iters=8)
+    assert idx.coarse.shape == (16, 128)
+    assert idx.fine.shape == (16, 16, 128)
+    for i, d in enumerate(images):
+        idx.add_image(d, name=f"im{i}")
+    idx.prepare()
+    for i in (0, 3, 7):
+        names, scores = idx.query(images[i], topk=3)
+        assert names[0] == f"im{i}"
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "vocab.npz")
+        idx.save(p)
+        idx2 = VocabHEIndex.load(p)
+        assert idx2.hierarchical
+        n1, s1 = idx.query(images[2], topk=3)
+        n2, s2 = idx2.query(images[2], topk=3)
+        assert n1 == n2
+        np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_hierarchical_auto_threshold():
+    assert VocabHEIndex(n_words=16384).hierarchical
+    assert not VocabHEIndex(n_words=4096).hierarchical
