@@ -3,11 +3,13 @@
 from cvt_tpu.features.scale_space import build_pyramid, OctavePyramid
 from cvt_tpu.features.detect import detect_octave, Keypoints
 from cvt_tpu.features.descriptor import (
-    assign_orientations, sift_descriptors, root_sift, bilinear_sample)
+    assign_orientations, assign_orientations_multi, sift_descriptors,
+    root_sift, bilinear_sample)
 from cvt_tpu.features.covdet import extract_sift, SiftFeatures
 
 __all__ = [
     "build_pyramid", "OctavePyramid", "detect_octave", "Keypoints",
-    "assign_orientations", "sift_descriptors", "root_sift",
+    "assign_orientations", "assign_orientations_multi",
+    "sift_descriptors", "root_sift",
     "bilinear_sample", "extract_sift", "SiftFeatures",
 ]

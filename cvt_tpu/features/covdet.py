@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from cvt_tpu.features.descriptor import (
-    assign_orientations, root_sift, sift_descriptors)
+    assign_orientations, assign_orientations_multi, root_sift,
+    sift_descriptors)
 from cvt_tpu.features.detect import detect_octave
 from cvt_tpu.features.scale_space import build_pyramid
 
@@ -43,11 +44,25 @@ def extract_sift(images, *, max_features: int = 512,
                  edge_threshold: float = 10.0,
                  first_octave: int = -1, n_scales: int = 3,
                  rootsift: bool = False,
+                 n_orientations: int = 1,
+                 dsp_num_scales: int = 1,
+                 dsp_min_scale: float = 1.0 / 6.0,
+                 dsp_max_scale: float = 3.0,
                  max_per_octave: int | None = None) -> SiftFeatures:
     """images [B, H, W] float in [0, 1] (grayscale) -> SiftFeatures.
 
     Defaults mirror vlindex (sift.h:59-84); rootsift=True applies the
     L1-sqrt transform of hnsw_sifts_retrieval.
+
+    n_orientations > 1 duplicates keypoints at secondary orientation
+    peaks >= 0.8x max, the reference's vl_covdet_extract_orientations
+    behavior (vl_covdet.hpp:174-186) — each duplicate gets its own
+    descriptor slot.
+
+    dsp_num_scales > 1 enables DSP-SIFT domain-size pooling
+    (sift.h:97-100): descriptors are averaged over dsp_num_scales
+    domain sizes geometrically spaced in [dsp_min_scale, dsp_max_scale]
+    x sigma, then re-normalized.
     """
     images = jnp.asarray(images, jnp.float32)
     if images.ndim == 2:
@@ -57,6 +72,23 @@ def extract_sift(images, *, max_features: int = 512,
     b = images.shape[0]
     per_oct = max_per_octave or max_features
 
+    def describe(octv, x_f, y_f, sigma_oct, lev_i, ang, valid):
+        if dsp_num_scales <= 1:
+            return sift_descriptors(octv.grad_dx, octv.grad_dy, x_f, y_f,
+                                    sigma_oct, lev_i, ang, valid)
+        # DSP: average the descriptor over pooled domain sizes
+        ratios = np.geomspace(dsp_min_scale, dsp_max_scale,
+                              dsp_num_scales).astype(np.float32)
+        acc = 0.0
+        for rt in ratios:
+            acc = acc + sift_descriptors(
+                octv.grad_dx, octv.grad_dy, x_f, y_f,
+                sigma_oct * float(rt), lev_i, ang, valid)
+        d = acc / float(dsp_num_scales)
+        d = d * jax.lax.rsqrt(
+            jnp.sum(jnp.square(d), axis=-1, keepdims=True) + 1e-12)
+        return jnp.where(valid[..., None], d, 0.0)
+
     parts = []
     for octv in pyr:
         x_f, y_f, l_f, lev_i, resp, valid = detect_octave(
@@ -64,11 +96,23 @@ def extract_sift(images, *, max_features: int = 512,
             edge_threshold=edge_threshold)
         # sigma in octave pixels from the refined level coordinate
         sigma_oct = 1.6 * (2.0 ** (l_f / float(n_scales)))
+        if n_orientations > 1:
+            # duplicate keypoints per orientation peak: [B, K, O] -> K*O
+            angs, aok = assign_orientations_multi(
+                octv.grad_dx, octv.grad_dy, x_f, y_f, sigma_oct, lev_i,
+                valid, n_orientations=n_orientations)
+            o = n_orientations
+            tile = lambda a: jnp.repeat(a, o, axis=1)
+            x_f, y_f = tile(x_f), tile(y_f)
+            sigma_oct, lev_i = tile(sigma_oct), tile(lev_i)
+            resp = tile(resp)
+            ang = angs.reshape(b, -1)
+            valid = aok.reshape(b, -1)
+        else:
+            ang = assign_orientations(octv.grad_dx, octv.grad_dy, x_f,
+                                      y_f, sigma_oct, lev_i, valid)
         # gradients live on the Gaussian levels; use the nearest level
-        ang = assign_orientations(octv.grad_dx, octv.grad_dy, x_f, y_f,
-                                  sigma_oct, lev_i, valid)
-        desc = sift_descriptors(octv.grad_dx, octv.grad_dy, x_f, y_f,
-                                sigma_oct, lev_i, ang, valid)
+        desc = describe(octv, x_f, y_f, sigma_oct, lev_i, ang, valid)
         step = octv.step
         parts.append(dict(
             x=x_f * step, y=y_f * step, sigma=sigma_oct * step,

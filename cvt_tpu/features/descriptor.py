@@ -51,6 +51,72 @@ def _sample_level(stack: jax.Array, level: jax.Array, xs, ys):
     return bilinear_sample(img, xs, ys)
 
 
+@partial(jax.jit, static_argnames=("n_samples", "n_orientations",
+                                   "peak_ratio"))
+def assign_orientations_multi(dx, dy, x, y, sigma_oct, level, valid, *,
+                              n_samples: int = 16,
+                              n_orientations: int = 4,
+                              peak_ratio: float = 0.8):
+    """Up to n_orientations gradient-orientation peaks per keypoint.
+
+    The reference DUPLICATES a feature once per orientation-histogram
+    peak >= peak_ratio * max (vl_covdet_extract_orientations,
+    covdet/vl_covdet.hpp:174-186; classic vl_sift convention 0.8).
+    Returns (angles [B, K, O] radians, ok [B, K, O] bool) — ok[...,0] is
+    always the dominant peak; extra slots are valid only where a
+    secondary local maximum clears the peak-ratio bar.
+    """
+    p = n_samples
+    o = n_orientations
+    lin = np.linspace(-1.0, 1.0, p, dtype=np.float32)
+    gx, gy = np.meshgrid(lin, lin)
+    grid = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], 1))    # [P^2, 2]
+    win_r = 3.0 * 1.5
+
+    def per_kp(dxs, dys, xi, yi, si, li):
+        xs = xi + si * win_r * grid[:, 0]
+        ys = yi + si * win_r * grid[:, 1]
+        vx = _sample_level(dxs, li, xs, ys)
+        vy = _sample_level(dys, li, xs, ys)
+        mag = jnp.sqrt(vx * vx + vy * vy)
+        ang = jnp.arctan2(vy, vx)
+        r2 = (grid[:, 0] ** 2 + grid[:, 1] ** 2) * (win_r ** 2)
+        wgt = jnp.exp(-r2 / (2.0 * (1.5 * win_r / 2) ** 2))
+        binf = (ang + jnp.pi) / (2 * jnp.pi) * N_ORI_BINS
+        b0 = jnp.floor(binf).astype(jnp.int32) % N_ORI_BINS
+        fb = binf - jnp.floor(binf)
+        contrib = mag * wgt
+        hist = (jnp.zeros(N_ORI_BINS)
+                .at[b0].add(contrib * (1 - fb))
+                .at[(b0 + 1) % N_ORI_BINS].add(contrib * fb))
+        for _ in range(2):
+            hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+        hmax = jnp.max(hist)
+        is_peak = ((hist >= jnp.roll(hist, 1))
+                   & (hist >= jnp.roll(hist, -1))
+                   & (hist >= peak_ratio * hmax) & (hmax > 0))
+        score = jnp.where(is_peak, hist, -1.0)
+        vals, bins = jax.lax.top_k(score, o)                     # [O]
+        hl = hist[(bins - 1) % N_ORI_BINS]
+        hc = hist[bins]
+        hr = hist[(bins + 1) % N_ORI_BINS]
+        denom = hl - 2 * hc + hr
+        off = jnp.where(jnp.abs(denom) > 1e-12,
+                        0.5 * (hl - hr) / denom, 0.0)
+        off = jnp.clip(off, -0.5, 0.5)
+        angs = ((bins + off + 0.5) / N_ORI_BINS) * 2 * jnp.pi - jnp.pi
+        ok = vals > 0
+        # dominant slot always valid (matches single-orientation path)
+        ok = ok.at[0].set(hmax > 0)
+        return angs, ok
+
+    f = jax.vmap(jax.vmap(per_kp, in_axes=(None, None, 0, 0, 0, 0)),
+                 in_axes=(0, 0, 0, 0, 0, 0))
+    angs, ok = f(dx, dy, x, y, sigma_oct, level)
+    ok = ok & valid[..., None]
+    return jnp.where(ok, angs, 0.0), ok
+
+
 @partial(jax.jit, static_argnames=("n_samples",))
 def assign_orientations(dx, dy, x, y, sigma_oct, level, valid, *,
                         n_samples: int = 16):

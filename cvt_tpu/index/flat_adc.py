@@ -93,6 +93,18 @@ def _adc_scan(q, q_sq, codes, dec_sq, codebooks, k, chunk, n_valid):
 
 
 @partial(jax.jit, static_argnames=("rotate",))
+def _encode_many(x, rotation, codebooks, rotate: bool):
+    """x [C, T, D] device-resident chunk stack -> (codes [C, T, M] u8,
+    dec_sq [C, T] f32) in ONE dispatch: a lax.map over fixed-shape chunks
+    keeps peak memory at one [M, T, K] distance block while amortizing
+    the per-dispatch launch overhead (~25 ms on the axon tunnel) across
+    the whole stack — this is what lifts encode to >=1M codes/s."""
+    def one(xc):
+        return _encode_chunk(xc, rotation, codebooks, rotate)
+    return jax.lax.map(one, x)
+
+
+@partial(jax.jit, static_argnames=("rotate",))
 def _encode_chunk(x, rotation, codebooks, rotate: bool):
     """One fused device program: rotate -> nearest-codeword assign ->
     decode sqnorm. Returns (codes [T, M] u8, dec_sq [T] f32).
@@ -188,6 +200,18 @@ class FlatADCIndex:
                 x = np.asarray(x, np.float32)
             n = x.shape[0]
             step = self.ENC_CHUNK
+            if on_device and n > step:
+                # single dispatch: pad to a whole number of chunks and
+                # run the jitted chunk-map on device
+                c_num = -(-n // step)
+                xp = jnp.pad(x, ((0, c_num * step - n), (0, 0)))
+                cs, dsqs = _encode_many(
+                    xp.reshape(c_num, step, x.shape[1]), rot,
+                    self.pq.codebooks, self.rotation is not None)
+                self._pending.append((cs.reshape(c_num * step, -1)[:n],
+                                      dsqs.reshape(c_num * step)[:n]))
+                self._pending_n += n
+                return
             for s in range(0, n, step):
                 chunk = x[s:s + step]
                 t = chunk.shape[0]
@@ -197,7 +221,8 @@ class FlatADCIndex:
                              else np.pad(chunk, pad))
                 c, d = _encode_chunk(chunk, rot, self.pq.codebooks,
                                      self.rotation is not None)
-                self._pending.append((c[:t], d[:t]))
+                self._pending.append((c if t == c.shape[0] else c[:t],
+                                      d if t == d.shape[0] else d[:t]))
                 self._pending_n += t
         else:
             codes = jnp.asarray(codes, jnp.uint8)

@@ -39,19 +39,16 @@ from cvt_tpu.ops.topk import merge_topk
 from cvt_tpu.quant.pq import ProductQuantizer
 
 
-@partial(jax.jit, static_argnames=("nprobe", "k"))
-def _ivf_query(q, centroids, cw_sqnorm, codebooks, buckets, bucket_ids,
-               bucket_dsq, tail_codes, tail_coarse, tail_dsq, tail_ids,
-               nprobe, k):
-    """Batched IVF-ADC query.
+def _probed_scores(q, centroids, cw_sqnorm, codebooks, buckets, bucket_ids,
+                   nprobe, probe_chunk=None):
+    """Shared probe + residual-LUT + bucket-scoring stage.
 
-    q [B, D]; centroids [Kc, D]; cw_sqnorm [M, K]; codebooks [M, K, ds];
-    buckets [Kc, L, M] u8; bucket_ids [Kc, L] i32 (-1 = pad);
-    bucket_dsq [Kc, L] f32 (= ||c_a + d(code)||^2 per entry);
-    tail_* : overflow entries ([T, M] u8, [T] i32 coarse id, [T] f32, [T] i32).
+    Returns (flat_scores [B, P*L], flat_ids [B, P*L], coarse_ip [B, Kc],
+    q_sq [B]). probe_chunk bounds the [B, Pc, L, M] gather working set
+    for the reference operating point (coarseK=8192, m=16 — IVFOPQ.cpp
+    :56-63) by looping probe chunks instead of materializing all P.
     """
     b, d = q.shape
-    kc = centroids.shape[0]
     m, kk, ds = codebooks.shape
     L = buckets.shape[1]
 
@@ -63,26 +60,54 @@ def _ivf_query(q, centroids, cw_sqnorm, codebooks, buckets, bucket_ids,
     coarse_dist = q_sq[:, None] - 2.0 * coarse_ip + c_sq[None, :]
     _, probes = jax.lax.top_k(-coarse_dist, nprobe)               # [B, P]
 
-    # ---- residual LUTs for every (query, probe) pair --------------------
-    probe_cent = centroids[probes]                                # [B, P, D]
-    r = q[:, None, :] - probe_cent                                # [B, P, D]
-    r_sub = r.reshape(b, nprobe, m, ds)
-    ip_lut = jnp.einsum("bpms,mks->bpmk", r_sub,
-                        codebooks, preferred_element_type=jnp.float32)
-    r_sq_sub = jnp.sum(jnp.square(r_sub), axis=-1)                # [B, P, M]
-    lut = (r_sq_sub[..., None] - 2.0 * ip_lut
-           + cw_sqnorm[None, None, :, :])                         # [B,P,M,K]
+    pc = probe_chunk or nprobe
+    pc = min(pc, nprobe)
+    parts_s, parts_i = [], []
+    for s in range(0, nprobe, pc):
+        pr = probes[:, s:s + pc]                                  # [B, Pc]
+        npc = pr.shape[1]
+        # residual LUTs for this probe chunk
+        probe_cent = centroids[pr]                                # [B,Pc,D]
+        r = q[:, None, :] - probe_cent
+        r_sub = r.reshape(b, npc, m, ds)
+        ip_lut = jnp.einsum("bpms,mks->bpmk", r_sub, codebooks,
+                            preferred_element_type=jnp.float32)
+        r_sq_sub = jnp.sum(jnp.square(r_sub), axis=-1)            # [B,Pc,M]
+        lut = (r_sq_sub[..., None] - 2.0 * ip_lut
+               + cw_sqnorm[None, None, :, :])                     # [B,Pc,M,K]
+        pcodes = buckets[pr].astype(jnp.int32)                    # [B,Pc,L,M]
+        pids = bucket_ids[pr]                                     # [B,Pc,L]
+        # scores[b,p,l] = sum_m lut[b,p,m,pcodes[b,p,l,m]]
+        g = jnp.take_along_axis(
+            lut, pcodes.transpose(0, 1, 3, 2), axis=3)            # [B,Pc,M,L]
+        scores = jnp.sum(g, axis=2)                               # [B,Pc,L]
+        scores = jnp.where(pids >= 0, scores, jnp.inf)
+        parts_s.append(scores.reshape(b, npc * L))
+        parts_i.append(pids.reshape(b, npc * L))
+    flat_scores = jnp.concatenate(parts_s, axis=1) if len(parts_s) > 1 \
+        else parts_s[0]
+    flat_ids = jnp.concatenate(parts_i, axis=1) if len(parts_i) > 1 \
+        else parts_i[0]
+    return flat_scores, flat_ids, coarse_ip, q_sq
 
-    # ---- gather probed buckets and LUT-score them -----------------------
-    pcodes = buckets[probes].astype(jnp.int32)                    # [B,P,L,M]
-    pids = bucket_ids[probes]                                     # [B, P, L]
-    # scores[b,p,l] = sum_m lut[b,p,m,pcodes[b,p,l,m]]
-    g = jnp.take_along_axis(
-        lut, pcodes.transpose(0, 1, 3, 2), axis=3)                # [B,P,M,L]
-    scores = jnp.sum(g, axis=2)                                   # [B, P, L]
-    scores = jnp.where(pids >= 0, scores, jnp.inf)
-    flat_scores = scores.reshape(b, nprobe * L)
-    flat_ids = pids.reshape(b, nprobe * L)
+
+@partial(jax.jit, static_argnames=("nprobe", "k", "probe_chunk"))
+def _ivf_query(q, centroids, cw_sqnorm, codebooks, buckets, bucket_ids,
+               bucket_dsq, tail_codes, tail_coarse, tail_dsq, tail_ids,
+               nprobe, k, probe_chunk=None):
+    """Batched IVF-ADC query.
+
+    q [B, D]; centroids [Kc, D]; cw_sqnorm [M, K]; codebooks [M, K, ds];
+    buckets [Kc, L, M] u8; bucket_ids [Kc, L] i32 (-1 = pad);
+    bucket_dsq [Kc, L] f32 (= ||c_a + d(code)||^2 per entry);
+    tail_* : overflow entries ([T, M] u8, [T] i32 coarse id, [T] f32, [T] i32).
+    """
+    b, d = q.shape
+    m, kk, ds = codebooks.shape
+    L = buckets.shape[1]
+    flat_scores, flat_ids, coarse_ip, q_sq = _probed_scores(
+        q, centroids, cw_sqnorm, codebooks, buckets, bucket_ids,
+        nprobe, probe_chunk)
     kb = min(k, nprobe * L)
     best_d, j = jax.lax.top_k(-flat_scores, kb)
     best_d = -best_d
@@ -91,21 +116,8 @@ def _ivf_query(q, centroids, cw_sqnorm, codebooks, buckets, bucket_ids,
     # ---- tail: flat decode-first scan with coarse-IP correction ---------
     t = tail_codes.shape[0]
     if t > 0:
-        iota = jax.lax.broadcasted_iota(jnp.int32, (m, t, kk), 2)
-        onehot = (tail_codes.astype(jnp.int32).T[:, :, None]
-                  == iota).astype(jnp.bfloat16)                   # [M, T, K]
-        dec = jax.lax.dot_general(
-            onehot, codebooks.astype(jnp.bfloat16),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.bfloat16)                  # [M, T, ds]
-        dec = dec.transpose(1, 0, 2).reshape(t, d)
-        ip_d = jnp.matmul(dec, q.astype(jnp.bfloat16).T,
-                          preferred_element_type=jnp.float32).T   # [B, T]
-        cip = jnp.take_along_axis(
-            coarse_ip, jnp.broadcast_to(tail_coarse[None, :], (b, t)),
-            axis=1)                                               # [B, T]
-        tdist = q_sq[:, None] + tail_dsq[None, :] - 2.0 * cip - 2.0 * ip_d
-        tdist = jnp.where(tail_ids[None, :] >= 0, tdist, jnp.inf)
+        tdist = _tail_dists(q, q_sq, coarse_ip, codebooks, tail_codes,
+                            tail_coarse, tail_dsq, tail_ids)
         kt = min(k, t)
         td, tj = jax.lax.top_k(-tdist, kt)
         ti = jnp.take_along_axis(
@@ -114,6 +126,111 @@ def _ivf_query(q, centroids, cw_sqnorm, codebooks, buckets, bucket_ids,
         cat_i = jnp.concatenate([best_i, ti], axis=-1)
         best_d, best_i = merge_topk(cat_d, cat_i, min(k, kb + kt))
     return best_d, best_i
+
+
+def _tail_dists(q, q_sq, coarse_ip, codebooks, tail_codes, tail_coarse,
+                tail_dsq, tail_ids):
+    """Overflow-tail distances [B, T] (decode-first MXU scan with the
+    coarse inner products reused from probe selection; inf on padding)."""
+    b, d = q.shape
+    m, kk, _ = codebooks.shape
+    t = tail_codes.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m, t, kk), 2)
+    onehot = (tail_codes.astype(jnp.int32).T[:, :, None]
+              == iota).astype(jnp.bfloat16)                       # [M, T, K]
+    dec = jax.lax.dot_general(
+        onehot, codebooks.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.bfloat16)                      # [M, T, ds]
+    dec = dec.transpose(1, 0, 2).reshape(t, d)
+    ip_d = jnp.matmul(dec, q.astype(jnp.bfloat16).T,
+                      preferred_element_type=jnp.float32).T       # [B, T]
+    cip = jnp.take_along_axis(
+        coarse_ip, jnp.broadcast_to(tail_coarse[None, :], (b, t)),
+        axis=1)                                                   # [B, T]
+    tdist = q_sq[:, None] + tail_dsq[None, :] - 2.0 * cip - 2.0 * ip_d
+    return jnp.where(tail_ids[None, :] >= 0, tdist, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("nprobe", "max_results", "probe_chunk"))
+def _ivf_query_threshold(q, centroids, cw_sqnorm, codebooks, buckets,
+                         bucket_ids, tail_codes, tail_coarse, tail_dsq,
+                         tail_ids, radius, nprobe, max_results,
+                         probe_chunk=None):
+    """Radius query — the QueryThrehold analogue (IVFOPQ.cpp:213-320):
+    every probed entry with dist <= radius, reported as up to max_results
+    (nearest-first) plus the TRUE total count under the radius.
+
+    Returns (dists [B, R], ids [B, R], valid [B, R] bool, count [B] i32).
+    """
+    flat_scores, flat_ids, coarse_ip, q_sq = _probed_scores(
+        q, centroids, cw_sqnorm, codebooks, buckets, bucket_ids,
+        nprobe, probe_chunk)
+    t = tail_codes.shape[0]
+    if t > 0:
+        tdist = _tail_dists(q, q_sq, coarse_ip, codebooks, tail_codes,
+                            tail_coarse, tail_dsq, tail_ids)
+        flat_scores = jnp.concatenate([flat_scores, tdist], axis=1)
+        flat_ids = jnp.concatenate(
+            [flat_ids, jnp.broadcast_to(tail_ids[None, :],
+                                        tdist.shape)], axis=1)
+    r = min(max_results, flat_scores.shape[1])
+    neg, j = jax.lax.top_k(-flat_scores, r)
+    dists = -neg
+    ids = jnp.take_along_axis(flat_ids, j, axis=-1)
+    valid = (dists <= radius) & (ids >= 0)
+    count = jnp.sum((flat_scores <= radius) & (flat_ids >= 0),
+                    axis=-1).astype(jnp.int32)
+    return dists, ids, valid, count
+
+
+@partial(jax.jit, static_argnames=("nprobe", "k", "n_groups", "probe_chunk"))
+def _ivf_query_grouped(q, centroids, cw_sqnorm, codebooks, buckets,
+                       bucket_ids, tail_codes, tail_coarse, tail_dsq,
+                       tail_ids, vec_groups, nprobe, k, n_groups,
+                       probe_chunk=None):
+    """Per-group min-aggregated query — the per-video min-reduce the
+    reference fuses into its inverted-list scan (IVFOPQ.cpp:300-309,
+    IVFelem.videoId). Scores every probed entry, min-reduces into its
+    group (video), and returns the top-k groups.
+
+    vec_groups [N] i32 maps vector id -> group id in [0, n_groups).
+    Returns (group_dists [B, kg], group_ids [B, kg], member_ids [B, kg])
+    where member_ids is the arg-min vector inside each winning group.
+    """
+    b = q.shape[0]
+    flat_scores, flat_ids, coarse_ip, q_sq = _probed_scores(
+        q, centroids, cw_sqnorm, codebooks, buckets, bucket_ids,
+        nprobe, probe_chunk)
+    t = tail_codes.shape[0]
+    if t > 0:
+        tdist = _tail_dists(q, q_sq, coarse_ip, codebooks, tail_codes,
+                            tail_coarse, tail_dsq, tail_ids)
+        flat_scores = jnp.concatenate([flat_scores, tdist], axis=1)
+        flat_ids = jnp.concatenate(
+            [flat_ids, jnp.broadcast_to(tail_ids[None, :],
+                                        tdist.shape)], axis=1)
+    # group id per candidate (pad/invalid -> sentinel group n_groups)
+    safe_ids = jnp.clip(flat_ids, 0, vec_groups.shape[0] - 1)
+    gid = jnp.where(flat_ids >= 0, vec_groups[safe_ids], n_groups)
+    rows = jax.lax.broadcasted_iota(jnp.int32, gid.shape, 0)
+    per_group = jnp.full((b, n_groups + 1), jnp.inf, jnp.float32)
+    per_group = per_group.at[rows, gid].min(flat_scores)
+    pg = per_group[:, :n_groups]                                  # [B, G]
+    kg = min(k, n_groups)
+    neg, gsel = jax.lax.top_k(-pg, kg)
+    gdist = -neg
+    # arg-min member per group: scatter-min the candidate id among
+    # entries matching their group's min score
+    gmin_per_cand = jnp.take_along_axis(per_group, gid, axis=1)
+    is_min = flat_scores <= gmin_per_cand
+    cand = jnp.where(is_min & (flat_ids >= 0), flat_ids, jnp.iinfo(jnp.int32).max)
+    member = jnp.full((b, n_groups + 1), jnp.iinfo(jnp.int32).max,
+                      jnp.int32)
+    member = member.at[rows, gid].min(cand)
+    member_sel = jnp.take_along_axis(member[:, :n_groups], gsel, axis=1)
+    member_sel = jnp.where(jnp.isfinite(gdist), member_sel, -1)
+    return gdist, gsel, member_sel
 
 
 class IVFADCIndex:
@@ -145,9 +262,13 @@ class IVFADCIndex:
                                          iters=pq_iters)
 
     # ---------------------------------------------------------------- build
-    def build(self, x) -> None:
+    def build(self, x, group_ids=None) -> None:
         """Assign, encode residuals, and lay out padded buckets (host-side
-        layout; math on device)."""
+        layout; math on device).
+
+        group_ids: optional [N] int array mapping each vector to a group
+        (the reference's IVFelem.videoId, IVFOPQ.h:24-29) — enables
+        search_grouped()."""
         if self.centroids is None:
             raise RuntimeError("train() first")
         from cvt_tpu.ops.kmeans import kmeans_assign
@@ -208,6 +329,14 @@ class IVFADCIndex:
         self._tail_coarse = jnp.asarray(tail_coarse)
         self._tail_dsq = jnp.asarray(tail_dsq)
         self._tail_ids = jnp.asarray(tail_ids)
+        if group_ids is not None:
+            g = np.asarray(group_ids, np.int32)
+            assert g.shape == (n,)
+            self._vec_groups = jnp.asarray(g)
+            self.n_groups = int(g.max()) + 1 if n else 0
+        else:
+            self._vec_groups = None
+            self.n_groups = 0
         self._ntotal = n
         self._built = True
 
@@ -216,7 +345,8 @@ class IVFADCIndex:
         return getattr(self, "_ntotal", 0)
 
     # --------------------------------------------------------------- search
-    def search(self, q, k: int, *, nprobe: int = 16):
+    def search(self, q, k: int, *, nprobe: int = 16,
+               probe_chunk: int | None = None):
         if not self._built:
             raise RuntimeError("build() first")
         q = jnp.asarray(q, jnp.float32)
@@ -225,7 +355,41 @@ class IVFADCIndex:
             self.pq.codebooks, self._buckets, self._bucket_ids,
             self._bucket_dsq, self._tail_codes, self._tail_coarse,
             self._tail_dsq, self._tail_ids,
-            min(nprobe, self.coarse_k), k)
+            min(nprobe, self.coarse_k), k, probe_chunk)
+
+    def search_threshold(self, q, radius: float, *, nprobe: int = 16,
+                         max_results: int = 128,
+                         probe_chunk: int | None = None):
+        """All probed neighbors within `radius` (squared L2) — the
+        QueryThrehold analogue (opq/src/IVFOPQ.cpp:213-320). Returns
+        (dists [B, R], ids [B, R], valid [B, R], count [B])."""
+        if not self._built:
+            raise RuntimeError("build() first")
+        q = jnp.asarray(q, jnp.float32)
+        return _ivf_query_threshold(
+            q, self.centroids, self.pq.codeword_sqnorms(),
+            self.pq.codebooks, self._buckets, self._bucket_ids,
+            self._tail_codes, self._tail_coarse, self._tail_dsq,
+            self._tail_ids, jnp.float32(radius),
+            min(nprobe, self.coarse_k), max_results, probe_chunk)
+
+    def search_grouped(self, q, k: int, *, nprobe: int = 16,
+                       probe_chunk: int | None = None):
+        """Top-k GROUPS by min member distance — the reference's
+        per-video min-aggregation (IVFOPQ.cpp:300-309). Requires
+        build(x, group_ids=...). Returns (group_dists [B, kg],
+        group_ids [B, kg], member_ids [B, kg])."""
+        if not self._built:
+            raise RuntimeError("build() first")
+        if self._vec_groups is None:
+            raise RuntimeError("build(x, group_ids=...) first")
+        q = jnp.asarray(q, jnp.float32)
+        return _ivf_query_grouped(
+            q, self.centroids, self.pq.codeword_sqnorms(),
+            self.pq.codebooks, self._buckets, self._bucket_ids,
+            self._tail_codes, self._tail_coarse, self._tail_dsq,
+            self._tail_ids, self._vec_groups,
+            min(nprobe, self.coarse_k), k, self.n_groups, probe_chunk)
 
     # -- persistence ------------------------------------------------------
     def save(self, path: str) -> None:
@@ -239,6 +403,9 @@ class IVFADCIndex:
                  tail_coarse=np.asarray(self._tail_coarse),
                  tail_dsq=np.asarray(self._tail_dsq),
                  tail_ids=np.asarray(self._tail_ids),
+                 vec_groups=(np.asarray(self._vec_groups)
+                             if self._vec_groups is not None
+                             else np.zeros(0, np.int32)),
                  ntotal=self._ntotal)
 
     @classmethod
@@ -256,6 +423,10 @@ class IVFADCIndex:
         idx._tail_coarse = jnp.asarray(z["tail_coarse"])
         idx._tail_dsq = jnp.asarray(z["tail_dsq"])
         idx._tail_ids = jnp.asarray(z["tail_ids"])
+        vg = z["vec_groups"] if "vec_groups" in z.files else np.zeros(
+            0, np.int32)
+        idx._vec_groups = jnp.asarray(vg) if vg.size else None
+        idx.n_groups = int(vg.max()) + 1 if vg.size else 0
         idx._ntotal = int(z["ntotal"])
         idx._built = True
         return idx

@@ -1,13 +1,15 @@
 """Descriptor matching, spatial verification, robust estimation."""
 
 from cvt_tpu.match.nn import match_descriptors, MatchResult
+from cvt_tpu.match.guided import match_guided
 from cvt_tpu.match.svf import svf_inliers
 from cvt_tpu.match.solvers import (
     fit_affine, fit_homography_dlt, apply_affine, apply_homography)
 from cvt_tpu.match.ransac import ransac, ransac_preemptive, RansacResult
 from cvt_tpu.match.vote_verify import vote_and_verify
 from cvt_tpu.match.epipolar import (
-    fit_fundamental_8pt, essential_from_fundamental, sampson_error,
+    fit_fundamental_8pt, fit_fundamental_7pt, fit_essential_5pt,
+    solve_cubic_real, essential_from_fundamental, sampson_error,
     ransac_fundamental)
 from cvt_tpu.match.pose import (
     p3p, kabsch, fit_pnp_dlt, ransac_pnp, triangulate_dlt,
@@ -22,7 +24,8 @@ from cvt_tpu.match.reconstruction import (
 from cvt_tpu.match import gps
 
 __all__ = [
-    "match_descriptors", "MatchResult", "svf_inliers",
+    "match_descriptors", "MatchResult", "match_guided", "svf_inliers",
+    "fit_fundamental_7pt", "fit_essential_5pt", "solve_cubic_real",
     "fit_affine", "fit_homography_dlt", "apply_affine", "apply_homography",
     "ransac", "ransac_preemptive", "RansacResult", "vote_and_verify",
     "fit_fundamental_8pt", "essential_from_fundamental", "sampson_error",

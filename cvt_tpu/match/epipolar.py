@@ -1,17 +1,25 @@
-"""Two-view epipolar estimators: fundamental (8-point), essential.
+"""Two-view epipolar estimators: fundamental (7/8-point), essential (5-point).
 
 Reference: retrieval/vlindex/src/estimators/ — fundamental_matrix
-(7/8-point), essential_matrix (5-point via Ceres polynomial solve),
-two_view_geometry decision logic. Here: the batched normalized 8-point
-algorithm (DLT + rank-2 projection) and essential-from-fundamental with
-known intrinsics, plus Sampson error scoring — all batched so RANSAC
-evaluates S hypotheses in one SVD batch. The 5-point minimal solver is
-deliberately replaced by 8-point-over-batched-hypotheses: on TPU, extra
-hypotheses are cheaper than a Groebner-basis polynomial solve.
+(7/8-point, fundamental_matrix.cc), essential_matrix (Nister 5-point,
+essential.cc), two_view_geometry decision logic. Here: the batched
+normalized 8-point algorithm (DLT + rank-2 projection), the 7-point
+minimal solver (2-dim null space + closed-form Cardano cubic, up to 3
+solutions), the Stewenius/Nister 5-point essential minimal solver, and
+essential-from-fundamental with known intrinsics, plus Sampson error
+scoring — all batched so RANSAC evaluates S hypotheses in one SVD batch.
+
+TPU notes: the 5-point solver avoids the nonsymmetric eigensolver (not
+available under XLA/TPU) — the 10x10 action matrix's eigenvalues come
+from its characteristic polynomial (Faddeev–LeVerrier, exact trace
+recursion) rooted with fixed-iteration Durand–Kerner; eigenvectors from
+batched SVD null spaces. Everything is fixed-shape and jittable, so the
+minimal solver vmaps over RANSAC hypothesis batches.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -107,3 +115,306 @@ def ransac_fundamental(key, src, dst, valid=None, *,
     inliers = jnp.where(better, inl2, w)
     n_inl = jnp.sum(inliers).astype(jnp.int32)
     return model, inliers, n_inl
+
+
+# ---------------------------------------------------------------------------
+# Minimal solvers: 7-point fundamental, 5-point essential (Stewenius/Nister)
+# ---------------------------------------------------------------------------
+
+def solve_cubic_real(c3, c2, c1, c0):
+    """Real roots of c3 t^3 + c2 t^2 + c1 t + c0 (batched).
+
+    Returns (roots [..., 3], valid [..., 3]). Falls back to the quadratic /
+    linear root set when leading coefficients vanish. Trigonometric /
+    Cardano method — closed-form, jittable.
+    """
+    c3, c2, c1, c0 = jnp.broadcast_arrays(
+        jnp.asarray(c3, jnp.float32), jnp.asarray(c2, jnp.float32),
+        jnp.asarray(c1, jnp.float32), jnp.asarray(c0, jnp.float32))
+    eps = 1e-12
+    is_cubic = jnp.abs(c3) > eps * jnp.maximum(
+        1.0, jnp.maximum(jnp.abs(c2), jnp.maximum(jnp.abs(c1),
+                                                  jnp.abs(c0))))
+    a = jnp.where(is_cubic, c3, 1.0)
+    b, c, d = c2 / a, c1 / a, c0 / a
+    # depressed cubic t = s - b/3:  s^3 + p s + q
+    p = c - b * b / 3.0
+    q = 2.0 * b ** 3 / 27.0 - b * c / 3.0 + d
+    disc = (q / 2.0) ** 2 + (p / 3.0) ** 3
+    # three-real-root branch (disc <= 0): trigonometric
+    pr = jnp.minimum(p, -eps)
+    mp3 = jnp.sqrt(-pr / 3.0)
+    arg = jnp.clip(3.0 * q / (2.0 * pr * mp3), -1.0, 1.0)
+    theta = jnp.arccos(arg) / 3.0
+    kk = jnp.asarray([0.0, 1.0, 2.0], jnp.float32)
+    roots3 = 2.0 * mp3[..., None] * jnp.cos(
+        theta[..., None] - 2.0 * jnp.pi * kk / 3.0)
+    # one-real-root branch (disc > 0): Cardano
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u = jnp.cbrt(-q / 2.0 + sq)
+    v = jnp.cbrt(-q / 2.0 - sq)
+    root1 = u + v
+    roots = jnp.where((disc <= 0.0)[..., None], roots3,
+                      jnp.stack([root1, root1, root1], axis=-1))
+    roots = roots - (b / 3.0)[..., None]
+    valid = jnp.where((disc <= 0.0)[..., None],
+                      jnp.ones_like(roots, bool),
+                      jnp.asarray([True, False, False]))
+    # quadratic fallback when c3 ~ 0
+    qa = jnp.where(jnp.abs(c2) > eps, c2, 1.0)
+    qd = c1 * c1 - 4.0 * c2 * c0
+    qs = jnp.sqrt(jnp.maximum(qd, 0.0))
+    q1 = (-c1 + qs) / (2.0 * qa)
+    q2 = (-c1 - qs) / (2.0 * qa)
+    lin = -c0 / jnp.where(jnp.abs(c1) > eps, c1, 1.0)
+    quad_roots = jnp.stack([q1, q2, lin], axis=-1)
+    quad_valid = jnp.stack([(jnp.abs(c2) > eps) & (qd >= 0.0),
+                            (jnp.abs(c2) > eps) & (qd >= 0.0),
+                            (jnp.abs(c2) <= eps) & (jnp.abs(c1) > eps)],
+                           axis=-1)
+    roots = jnp.where(is_cubic[..., None], roots, quad_roots)
+    valid = jnp.where(is_cubic[..., None], valid, quad_valid)
+    return roots, valid
+
+
+def fit_fundamental_7pt(src: jax.Array, dst: jax.Array):
+    """7-point minimal fundamental solver (up to 3 solutions).
+
+    Reference: retrieval/vlindex/src/estimators/fundamental_matrix.cc
+    (FundamentalMatrixSevenPointEstimator). src/dst [..., 7, 2].
+    Returns (F [..., 3, 3, 3], valid [..., 3]): the 2-dim DLT null space
+    F(t) = F2 + t (F1 - F2) intersected with det F = 0 via the
+    closed-form cubic — batched, no iteration.
+    """
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    sn, t1 = _hartley_normalize(src)
+    dn, t2 = _hartley_normalize(dst)
+    x, y = sn[..., 0], sn[..., 1]
+    u, v = dn[..., 0], dn[..., 1]
+    one = jnp.ones_like(x)
+    a = jnp.stack([u * x, u * y, u, v * x, v * y, v, x, y, one],
+                  axis=-1)                                   # [..., 7, 9]
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+    f1 = vt[..., 7, :].reshape(src.shape[:-2] + (3, 3))
+    f2 = vt[..., 8, :].reshape(src.shape[:-2] + (3, 3))
+    g = f1 - f2                                              # F(t) = f2 + t g
+    # det(f2 + t g) = c0 + c1 t + c2 t^2 + c3 t^3 sampled at t=0,1,-1,2
+    d0 = jnp.linalg.det(f2)
+    d1 = jnp.linalg.det(f2 + g)
+    dm1 = jnp.linalg.det(f2 - g)
+    d2 = jnp.linalg.det(f2 + 2.0 * g)
+    c0 = d0
+    c2 = (d1 + dm1) / 2.0 - d0
+    c3 = (d2 - 2.0 * d1 + d0 - 2.0 * c2) / 6.0
+    c1 = d1 - d0 - c2 - c3
+    roots, valid = solve_cubic_real(c3, c2, c1, c0)          # [..., 3]
+    f = f2[..., None, :, :] + roots[..., :, None, None] * g[..., None, :, :]
+    # denormalize each solution: F = T2^T Fn T1
+    f = jnp.einsum("...ji,...sjk,...kl->...sil", t2, f, t1)
+    norm = jnp.linalg.norm(f.reshape(f.shape[:-2] + (9,)),
+                           axis=-1)[..., None, None]
+    f = f / (norm + 1e-12)
+    valid = valid & jnp.all(jnp.isfinite(f.reshape(f.shape[:-2] + (9,))),
+                            axis=-1)
+    return f, valid
+
+
+# ---- 5-point essential: precomputed monomial algebra (numpy, import-time)
+_B1 = [(1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0)]            # x, y, z, 1
+_M2 = [(2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1),
+       (0, 0, 2), (1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0)]
+_M3 = ([(3, 0, 0), (2, 1, 0), (2, 0, 1), (1, 2, 0), (1, 1, 1),
+        (1, 0, 2), (0, 3, 0), (0, 2, 1), (0, 1, 2), (0, 0, 3)] + _M2)
+_M2_IDX = {e: i for i, e in enumerate(_M2)}
+_M3_IDX = {e: i for i, e in enumerate(_M3)}
+
+
+def _scatter_mats():
+    add = lambda e1, e2: tuple(np.add(e1, e2))
+    s11 = np.zeros((16, 10), np.float32)      # (deg<=1)x(deg<=1) -> deg<=2
+    for i, ei in enumerate(_B1):
+        for j, ej in enumerate(_B1):
+            s11[i * 4 + j, _M2_IDX[add(ei, ej)]] = 1.0
+    s21 = np.zeros((40, 20), np.float32)      # (deg<=2)x(deg<=1) -> deg<=3
+    for i, ei in enumerate(_M2):
+        for j, ej in enumerate(_B1):
+            s21[i * 4 + j, _M3_IDX[add(ei, ej)]] = 1.0
+    return jnp.asarray(s11), jnp.asarray(s21)
+
+
+_S11, _S21 = _scatter_mats()
+
+
+def _p11(a, b):
+    """Multiply two degree<=1 polys over [x,y,z,1] -> degree<=2 [.., 10]."""
+    outer = (a[..., :, None] * b[..., None, :]).reshape(a.shape[:-1] + (16,))
+    return outer @ _S11
+
+
+def _p21(a, b):
+    """(degree<=2 [..,10]) * (degree<=1 [..,4]) -> degree<=3 [.., 20]."""
+    outer = (a[..., :, None] * b[..., None, :]).reshape(a.shape[:-1] + (40,))
+    return outer @ _S21
+
+
+def _charpoly(a):
+    """Characteristic polynomial of a [..., n, n] via Faddeev-LeVerrier.
+    Returns monic coefficients [c0..cn] with c0=1: sum_k c_k lam^(n-k)."""
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)
+    m = jnp.zeros_like(a) + eye
+    coeffs = [jnp.ones(a.shape[:-2], a.dtype)]
+    for k in range(1, n + 1):
+        am = a @ m
+        ck = -jnp.trace(am, axis1=-2, axis2=-1) / k
+        coeffs.append(ck)
+        m = am + ck[..., None, None] * eye
+    return jnp.stack(coeffs, axis=-1)                        # [..., n+1]
+
+
+def _durand_kerner(coeffs, iters: int = 80):
+    """All complex roots of the monic REAL polynomial given by coeffs
+    [..., n+1] (c0=1), returned as (real [..., n], imag [..., n]).
+
+    Fixed-iteration Weierstrass/Durand-Kerner in EXPLICIT real/imag
+    arithmetic: the axon TPU backend lacks complex reduction ops, and
+    split arithmetic lowers to plain VPU f32 everywhere."""
+    n = coeffs.shape[-1] - 1
+    c = coeffs.astype(jnp.float32)
+    seed = np.power(0.4 + 0.9j, np.arange(1, n + 1))
+    wr = jnp.broadcast_to(jnp.asarray(seed.real, jnp.float32),
+                          coeffs.shape[:-1] + (n,))
+    wi = jnp.broadcast_to(jnp.asarray(seed.imag, jnp.float32),
+                          coeffs.shape[:-1] + (n,))
+    eye = jnp.eye(n, dtype=jnp.float32)
+
+    def body(carry, _):
+        wr, wi = carry
+        # Horner: p(w) with real coefficients
+        pr = jnp.broadcast_to(c[..., 0:1], wr.shape)
+        pi = jnp.zeros_like(wi)
+        for k in range(1, n + 1):
+            pr, pi = (pr * wr - pi * wi + c[..., k:k + 1],
+                      pr * wi + pi * wr)
+        # denom_i = prod_{j != i} (w_i - w_j): unrolled complex product
+        dr = wr[..., :, None] - wr[..., None, :] + eye       # [.., n, n]
+        di = wi[..., :, None] - wi[..., None, :]
+        ar = jnp.ones_like(wr)
+        ai = jnp.zeros_like(wi)
+        for j in range(n):
+            br, bi = dr[..., j], di[..., j]
+            ar, ai = ar * br - ai * bi, ar * bi + ai * br
+        # w -= p(w) / denom  (complex division)
+        m2 = jnp.maximum(ar * ar + ai * ai, 1e-30)
+        wr = wr - (pr * ar + pi * ai) / m2
+        wi = wi - (pi * ar - pr * ai) / m2
+        return (wr, wi), None
+
+    (wr, wi), _ = jax.lax.scan(body, (wr, wi), None, length=iters)
+    return wr, wi
+
+
+def fit_essential_5pt(src: jax.Array, dst: jax.Array):
+    """Nister/Stewenius 5-point essential matrix solver (up to 10 sols).
+
+    Reference: retrieval/vlindex/src/estimators/essential.cc
+    (EssentialMatrixFivePointEstimator). src/dst [..., 5, 2] in NORMALIZED
+    camera coordinates (K^-1 applied). Returns (E [..., 10, 3, 3],
+    valid [..., 10]) with dst^T E src = 0.
+
+    TPU-native pipeline (no Groebner tables, no nonsymmetric eig):
+      1. 4-dim DLT null space E = x X + y Y + z Z + W (batched SVD);
+      2. the 10 cubic constraints (det E = 0; 2 E E^T E - tr(E E^T) E = 0)
+         assembled over a fixed 20-monomial basis by precomputed
+         scatter-matmul polynomial products;
+      3. Gauss-Jordan -> 10x10 action matrix for multiplication by x in
+         the quotient ring;
+      4. eigenvalues via Faddeev-LeVerrier charpoly + Durand-Kerner;
+         eigenvectors via batched SVD null spaces -> (x, y, z).
+    """
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    batch = src.shape[:-2]
+    x1, y1 = src[..., 0], src[..., 1]
+    x2, y2 = dst[..., 0], dst[..., 1]
+    one = jnp.ones_like(x1)
+    a = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2,
+                   x1, y1, one], axis=-1)                    # [..., 5, 9]
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+    basis = vt[..., 5:9, :]                                  # [..., 4, 9]
+    ex = basis[..., 0, :].reshape(batch + (3, 3))
+    ey = basis[..., 1, :].reshape(batch + (3, 3))
+    ez = basis[..., 2, :].reshape(batch + (3, 3))
+    ew = basis[..., 3, :].reshape(batch + (3, 3))
+    # E entries as degree-1 polys over [x, y, z, 1]: [..., 3, 3, 4]
+    ep = jnp.stack([ex, ey, ez, ew], axis=-1)
+
+    def det3(e):
+        # cofactor expansion with poly products -> [..., 20]
+        def m2(i0, i1, j0, j1):
+            return (_p11(e[..., i0, j0, :], e[..., i1, j1, :])
+                    - _p11(e[..., i0, j1, :], e[..., i1, j0, :]))
+        return (_p21(m2(1, 2, 1, 2), e[..., 0, 0, :])
+                - _p21(m2(1, 2, 0, 2), e[..., 0, 1, :])
+                + _p21(m2(1, 2, 0, 1), e[..., 0, 2, :]))
+
+    # EEt[i,j] = sum_k E[i,k] E[j,k] : degree-2 [..., 3, 3, 10]
+    eet = jnp.stack([jnp.stack([
+        sum(_p11(ep[..., i, k, :], ep[..., j, k, :]) for k in range(3))
+        for j in range(3)], axis=-2) for i in range(3)], axis=-3)
+    tr = eet[..., 0, 0, :] + eet[..., 1, 1, :] + eet[..., 2, 2, :]
+    cmat = 2.0 * eet - jnp.zeros_like(eet).at[..., 0, 0, :].set(tr) \
+        .at[..., 1, 1, :].set(tr).at[..., 2, 2, :].set(tr)
+    # (C E)[i,j] = sum_k C[i,k] E[k,j] : degree-3 [..., 3, 3, 20]
+    rows = [det3(ep)]
+    for i in range(3):
+        for j in range(3):
+            rows.append(sum(_p21(cmat[..., i, k, :], ep[..., k, j, :])
+                            for k in range(3)))
+    m = jnp.stack(rows, axis=-2)                             # [..., 10, 20]
+
+    m1 = m[..., :, :10]
+    m2_ = m[..., :, 10:]
+    r = jnp.linalg.solve(m1, m2_)                            # [..., 10, 10]
+    # action matrix for multiplication by x over basis
+    # [x^2, xy, xz, y^2, yz, z^2, x, y, z, 1]
+    amat = jnp.zeros(batch + (10, 10), jnp.float32)
+    amat = amat.at[..., 0, :].set(-r[..., 0, :])   # x*x^2  = x^3
+    amat = amat.at[..., 1, :].set(-r[..., 1, :])   # x*xy   = x^2 y
+    amat = amat.at[..., 2, :].set(-r[..., 2, :])   # x*xz   = x^2 z
+    amat = amat.at[..., 3, :].set(-r[..., 3, :])   # x*y^2  = x y^2
+    amat = amat.at[..., 4, :].set(-r[..., 4, :])   # x*yz   = x y z
+    amat = amat.at[..., 5, :].set(-r[..., 5, :])   # x*z^2  = x z^2
+    amat = amat.at[..., 6, 0].set(1.0)             # x*x    = x^2
+    amat = amat.at[..., 7, 1].set(1.0)             # x*y    = xy
+    amat = amat.at[..., 8, 2].set(1.0)             # x*z    = xz
+    amat = amat.at[..., 9, 6].set(1.0)             # x*1    = x
+
+    cp = _charpoly(amat)                                     # [..., 11]
+    lam, lam_im = _durand_kerner(cp)                         # [..., 10]
+    is_real = jnp.abs(lam_im) < 1e-3 * (1.0 + jnp.abs(lam))
+    # eigenvector for each real eigenvalue: null space of (A^T - lam I)^T?
+    # A acts on coefficient vectors by ROW convention (x*b_i = A[i,:] b),
+    # i.e. the monomial-value vector v satisfies A v = x v -> right eigvec.
+    eye10 = jnp.eye(10, dtype=jnp.float32)
+    shifted = (amat[..., None, :, :]
+               - lam[..., :, None, None] * eye10)            # [..., 10,10,10]
+    _, sv, vts = jnp.linalg.svd(shifted)
+    v = vts[..., -1, :]                                      # [..., 10, 10]
+    denom = v[..., 9]
+    safe = jnp.abs(denom) > 1e-8
+    denom = jnp.where(safe, denom, 1.0)
+    xs = v[..., 6] / denom
+    ys = v[..., 7] / denom
+    zs = v[..., 8] / denom
+    e = (xs[..., None, None] * ex[..., None, :, :]
+         + ys[..., None, None] * ey[..., None, :, :]
+         + zs[..., None, None] * ez[..., None, :, :]
+         + ew[..., None, :, :])                              # [..., 10, 3, 3]
+    norm = jnp.linalg.norm(e.reshape(e.shape[:-2] + (9,)),
+                           axis=-1)[..., None, None]
+    e = e / (norm + 1e-12)
+    valid = (is_real & safe
+             & jnp.all(jnp.isfinite(e.reshape(e.shape[:-2] + (9,))), -1))
+    return e, valid

