@@ -18,16 +18,16 @@ codes_t = jax.device_put(jnp.asarray(ct))
 q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32) * 20)
 srow_j = jnp.asarray(srow)
 overhead = measure_launch_overhead()
-print("launch overhead ms", overhead * 1e3)
+print("launch overhead ms", overhead * 1e3, flush=True)
 
 # phase 1 only
 stack = jnp.asarray(rng.normal(size=(ITERS, B, D)).astype(np.float32) * 20)
 def p1(qb):
-    q2s = _fold_queries(qb, srow_j)
+    q2s, qs = _fold_queries(qb, srow_j)
     s2 = (srow_j * srow_j)[:, None]
-    return _adc_segmin(q2s, codes_t, cbt_q, s2, N, 1024, 128, group, False)
+    return _adc_segmin(q2s, qs, codes_t, cbt_q, s2, N, 1024, 128, group, False)
 t = chained_time(p1, stack, launch_overhead_s=overhead)
-print(f"phase1 seg=128: {t*1e3:.2f} ms/batch  {B/t:.0f} qps")
+print(f"phase1 int8 seg=128: {t*1e3:.2f} ms/batch  {B/t:.0f} qps", flush=True)
 
 # full fast search
 def full(qb):
@@ -35,29 +35,24 @@ def full(qb):
                       codes_t=codes_t, cbt_q=cbt_q, srow=srow_j,
                       group=group, interpret=False)
 t2 = chained_time(full, stack, launch_overhead_s=overhead)
-print(f"full fast k=10: {t2*1e3:.2f} ms/batch  {B/t2:.0f} qps")
+print(f"full fast k=10: {t2*1e3:.2f} ms/batch  {B/t2:.0f} qps", flush=True)
 
-# selection only (segmin fixed)
-q2s = _fold_queries(q, srow_j)
-s2 = (srow_j * srow_j)[:, None]
-segmin, segarg = _adc_segmin(q2s, codes_t, cbt_q, s2, N, 1024, 128, group, False)
-segstack_d = jnp.broadcast_to(segmin[None], (ITERS,) + segmin.shape) + \
-    jnp.arange(ITERS, dtype=jnp.float32)[:, None, None]
-def sel(sm):
-    smT = sm.T
-    neg, j = jax.lax.top_k(-smT, 10)
-    ids = jnp.take_along_axis(segarg.T, j, axis=-1)
-    return -neg, ids
-t3 = chained_time(sel, segstack_d, launch_overhead_s=overhead)
-print(f"selection (transpose+topk): {t3*1e3:.2f} ms/batch")
+for B2 in (8192, 16384):
+    stack2 = jnp.asarray(rng.normal(size=(8, B2, D)).astype(np.float32) * 20)
+    def full2(qb):
+        return adc_search(qb, None, None, None, jnp.asarray(cb), 10, N,
+                          codes_t=codes_t, cbt_q=cbt_q, srow=srow_j,
+                          group=group, interpret=False)
+    t3 = chained_time(full2, stack2, launch_overhead_s=overhead)
+    print(f"full fast B={B2}: {t3*1e3:.2f} ms/batch  {B2/t3:.0f} qps", flush=True)
 
-# phase1 with seg=256 / tile 2048
-for tile, seg in ((1024, 256), (2048, 256), (2048, 512)):
+for tile in (2048, 4096):
+    def p1t(qb, tile=tile):
+        q2s, qs = _fold_queries(qb, srow_j)
+        s2 = (srow_j * srow_j)[:, None]
+        return _adc_segmin(q2s, qs, codes_t, cbt_q, s2, N, tile, 128, group, False)
     try:
-        def p1b(qb, tile=tile, seg=seg):
-            q2s = _fold_queries(qb, srow_j)
-            return _adc_segmin(q2s, codes_t, cbt_q, s2, N, tile, seg, group, False)
-        tb = chained_time(p1b, stack, launch_overhead_s=overhead)
-        print(f"phase1 tile={tile} seg={seg}: {tb*1e3:.2f} ms/batch")
+        tb = chained_time(p1t, stack, launch_overhead_s=overhead)
+        print(f"phase1 tile={tile}: {tb*1e3:.2f} ms/batch", flush=True)
     except Exception as e:
-        print(f"tile={tile} seg={seg} failed: {str(e)[:200]}")
+        print(f"tile={tile} failed: {str(e)[:150]}", flush=True)

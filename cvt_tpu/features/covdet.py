@@ -17,6 +17,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cvt_tpu.features.descriptor import (
     assign_orientations, assign_orientations_multi, root_sift,

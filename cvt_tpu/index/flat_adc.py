@@ -119,14 +119,24 @@ def _encode_chunk(x, rotation, codebooks, rotate: bool):
         x = jnp.matmul(x, rotation, preferred_element_type=jnp.float32)
     m, k, ds = codebooks.shape
     t = x.shape[0]
-    xs = x.reshape(t, m, ds)
-    ip = jnp.einsum("tms,mks->mtk", xs, codebooks,
-                    preferred_element_type=jnp.float32)      # [M, T, K]
+    # Block-diagonal [D, M*K] codebook operand: ONE MXU matmul with a
+    # full 128-deep contraction replaces the per-subspace einsum whose
+    # ds(=16)-deep contraction used 1/8 of the MXU and materialized an
+    # [M, T, K] f32 block. M x redundant flops, but at full MXU
+    # utilization. f32 (HIGHEST) so cell assignments stay identical to
+    # ProductQuantizer.encode's f32 path — bf16 here flips near-tie
+    # cells and makes add() disagree with pq.encode on the same data.
+    cbt = jnp.zeros((m * ds, m * k), jnp.float32)
+    for mm in range(m):
+        cbt = cbt.at[mm * ds:(mm + 1) * ds, mm * k:(mm + 1) * k].set(
+            codebooks[mm].T)
+    ip = jnp.matmul(x, cbt, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)      # [T, M*K]
     c_sq = jnp.sum(jnp.square(codebooks), axis=-1)           # [M, K]
-    dist = c_sq[:, None, :] - 2.0 * ip                       # [M, T, K]
-    codes = jnp.argmin(dist, axis=-1)                        # [M, T]
-    dsq = jnp.sum(jnp.take_along_axis(c_sq, codes, axis=1), axis=0)
-    return codes.T.astype(jnp.uint8), dsq.astype(jnp.float32)
+    dist = c_sq.reshape(1, m * k) - 2.0 * ip
+    codes = jnp.argmin(dist.reshape(t, m, k), axis=-1)       # [T, M]
+    dsq = jnp.sum(jnp.take_along_axis(c_sq, codes.T, axis=1), axis=0)
+    return codes.astype(jnp.uint8), dsq.astype(jnp.float32)
 
 
 class FlatADCIndex:

@@ -11,10 +11,13 @@ scoring — all batched so RANSAC evaluates S hypotheses in one SVD batch.
 
 TPU notes: the 5-point solver avoids the nonsymmetric eigensolver (not
 available under XLA/TPU) — the 10x10 action matrix's eigenvalues come
-from its characteristic polynomial (Faddeev–LeVerrier, exact trace
-recursion) rooted with fixed-iteration Durand–Kerner; eigenvectors from
-batched SVD null spaces. Everything is fixed-shape and jittable, so the
-minimal solver vmaps over RANSAC hypothesis batches.
+from fixed-iteration Aberth–Ehrlich on p(z) = det(zI - A), with the
+Newton ratio p/p' evaluated through the trace identity
+p'/p = tr((zI - A)^{-1}) via batched split-complex linear solves (no
+polynomial coefficients anywhere — the f32 charpoly representation
+cannot resolve clustered roots). Eigenvectors come from delta-shifted
+fixed-shift inverse iteration. Everything is fixed-shape and jittable,
+so the minimal solver vmaps over RANSAC hypothesis batches.
 """
 
 from __future__ import annotations
@@ -281,7 +284,16 @@ def _durand_kerner(coeffs, iters: int = 80):
     arithmetic: the axon TPU backend lacks complex reduction ops, and
     split arithmetic lowers to plain VPU f32 everywhere."""
     n = coeffs.shape[-1] - 1
-    c = coeffs.astype(jnp.float32)
+    c0 = coeffs.astype(jnp.float32)
+    # Fujiwara root-bound scaling: all roots satisfy
+    # |lam| <= 2 max_k |c_k|^(1/k); substituting lam = s mu maps them
+    # into the unit disk and keeps every coefficient |c_k / s^k| <= 1,
+    # so degree-n Horner never overflows f32 (unscaled, a poly with
+    # |c_n| ~ 1e4 diverges DK to inf -> NaN through the denominators).
+    k_idx = jnp.asarray(np.arange(1, n + 1), jnp.float32)
+    fuji = jnp.max(jnp.abs(c0[..., 1:]) ** (1.0 / k_idx), axis=-1)
+    s = jnp.maximum(2.0 * fuji, 1.0)                         # [...]
+    c = c0 / (s[..., None] ** jnp.asarray(np.arange(n + 1), jnp.float32))
     seed = np.power(0.4 + 0.9j, np.arange(1, n + 1))
     wr = jnp.broadcast_to(jnp.asarray(seed.real, jnp.float32),
                           coeffs.shape[:-1] + (n,))
@@ -291,6 +303,7 @@ def _durand_kerner(coeffs, iters: int = 80):
 
     def body(carry, _):
         wr, wi = carry
+        wr0, wi0 = wr, wi
         # Horner: p(w) with real coefficients
         pr = jnp.broadcast_to(c[..., 0:1], wr.shape)
         pi = jnp.zeros_like(wi)
@@ -309,10 +322,13 @@ def _durand_kerner(coeffs, iters: int = 80):
         m2 = jnp.maximum(ar * ar + ai * ai, 1e-30)
         wr = wr - (pr * ar + pi * ai) / m2
         wi = wi - (pi * ar - pr * ai) / m2
+        ok = jnp.isfinite(wr) & jnp.isfinite(wi)
+        wr = jnp.where(ok, wr, wr0)
+        wi = jnp.where(ok, wi, wi0)
         return (wr, wi), None
 
     (wr, wi), _ = jax.lax.scan(body, (wr, wi), None, length=iters)
-    return wr, wi
+    return wr * s[..., None], wi * s[..., None]
 
 
 def fit_essential_5pt(src: jax.Array, dst: jax.Array):
@@ -391,17 +407,113 @@ def fit_essential_5pt(src: jax.Array, dst: jax.Array):
     amat = amat.at[..., 8, 2].set(1.0)             # x*z    = xz
     amat = amat.at[..., 9, 6].set(1.0)             # x*1    = x
 
-    cp = _charpoly(amat)                                     # [..., 11]
-    lam, lam_im = _durand_kerner(cp)                         # [..., 10]
-    is_real = jnp.abs(lam_im) < 1e-3 * (1.0 + jnp.abs(lam))
-    # eigenvector for each real eigenvalue: null space of (A^T - lam I)^T?
-    # A acts on coefficient vectors by ROW convention (x*b_i = A[i,:] b),
-    # i.e. the monomial-value vector v satisfies A v = x v -> right eigvec.
+    # ---- real eigenvalues of the action matrix, TPU-robustly ----------
+    # An f32 charpoly (Faddeev-LeVerrier) + root-finding on its
+    # COEFFICIENTS cannot resolve clustered eigenvalues: the coefficient
+    # representation is catastrophically ill-conditioned in f32. Instead,
+    # run Aberth-Ehrlich simultaneous iteration directly on
+    # p(z) = det(z I - A), with the Newton ratio p/p' obtained from the
+    # trace identity  p'/p = tr((z I - A)^{-1})  via batched linear
+    # solves — no polynomial coefficients anywhere. Complex arithmetic is
+    # split into real/imag with an augmented 20x20 real system (the axon
+    # TPU backend lacks complex linalg). The mutual-repulsion term keeps
+    # the 10 candidates distinct, so clusters resolve like they do for
+    # the exact eigensolver.
     eye10 = jnp.eye(10, dtype=jnp.float32)
-    shifted = (amat[..., None, :, :]
-               - lam[..., :, None, None] * eye10)            # [..., 10,10,10]
-    _, sv, vts = jnp.linalg.svd(shifted)
-    v = vts[..., -1, :]                                      # [..., 10, 10]
+    rad = jnp.max(jnp.sum(jnp.abs(amat), axis=-1), axis=-1)  # [...] inf-norm
+    rad = jnp.maximum(rad, 1.0)
+    # geometric radius spread: eigenvalue magnitudes can span 1e3x
+    # (rad is only an upper bound), so seeds must cover small moduli too
+    seed_c = (np.exp(1j * (2.0 * np.pi * np.arange(10) / 10.0 + 0.37))
+              * np.geomspace(0.01, 0.9, 10))
+    zr = rad[..., None] * jnp.asarray(seed_c.real, jnp.float32)
+    zi = rad[..., None] * jnp.asarray(seed_c.imag, jnp.float32)
+    rhs0 = np.concatenate([np.eye(10, dtype=np.float32),
+                           np.zeros((10, 10), np.float32)], axis=0)
+    rhs = jnp.broadcast_to(jnp.asarray(rhs0), zr.shape + (20, 10))
+    off = jnp.asarray(1.0 - np.eye(10, dtype=np.float32), bool)
+
+    def _aberth_step(carry, _):
+        zr, zi = carry                                       # [..., 10]
+        mr = zr[..., None, None] * eye10 - amat[..., None, :, :]
+        mi = zi[..., None, None] * eye10 + jnp.zeros_like(mr)
+        mm = jnp.concatenate(
+            [jnp.concatenate([mr, -mi], axis=-1),
+             jnp.concatenate([mi, mr], axis=-1)], axis=-2)   # [..,10,20,20]
+        sol = jnp.linalg.solve(mm, rhs)                      # [..,10,20,10]
+        tr_r = jnp.trace(sol[..., :10, :], axis1=-2, axis2=-1)
+        tr_i = jnp.trace(sol[..., 10:, :], axis1=-2, axis2=-1)
+        den = jnp.maximum(tr_r * tr_r + tr_i * tr_i, 1e-30)
+        wr_, wi_ = tr_r / den, -tr_i / den                   # w = p/p'
+        dzr = zr[..., :, None] - zr[..., None, :]
+        dzi = zi[..., :, None] - zi[..., None, :]
+        d2 = jnp.where(off, jnp.maximum(dzr * dzr + dzi * dzi, 1e-20), 1.0)
+        sr = jnp.sum(jnp.where(off, dzr / d2, 0.0), axis=-1)
+        si = jnp.sum(jnp.where(off, -dzi / d2, 0.0), axis=-1)
+        dr = 1.0 - (wr_ * sr - wi_ * si)
+        di = -(wr_ * si + wi_ * sr)
+        dd = jnp.maximum(dr * dr + di * di, 1e-30)
+        st_r = (wr_ * dr + wi_ * di) / dd
+        st_i = (wi_ * dr - wr_ * di) / dd
+        zr_n, zi_n = zr - st_r, zi - st_i
+        ok = (jnp.isfinite(zr_n) & jnp.isfinite(zi_n)
+              & (zr_n * zr_n + zi_n * zi_n
+                 < 100.0 * rad[..., None] * rad[..., None]))
+        return (jnp.where(ok, zr_n, zr), jnp.where(ok, zi_n, zi)), None
+
+    (zr, zi), _ = jax.lax.scan(_aberth_step, (zr, zi), None, length=48)
+    lam = zr                                                 # [..., 10]
+
+    # eigenvectors by FIXED-shift inverse iteration: the Aberth shift is
+    # already converged, and updating lam per-step (true RQI) lets two
+    # candidates straddling a near-pair (gap ~3e-2) migrate onto the
+    # SAME eigenvalue, silently losing one root of the pair.
+    # Shift by a small RELATIVE delta off the converged root: with the
+    # exact root, (A - lam I) is singular to f32 working precision and
+    # LU can return garbage instead of amplifying the null direction;
+    # delta ~ 1e-3 stays well inside the near-pair gap (~3e-2) while
+    # keeping the solve stable.
+    v = jnp.full(lam.shape + (10,), 1.0 / np.sqrt(10.0), jnp.float32)
+    delta = 1e-3 * (1.0 + jnp.abs(lam))
+    sh = (amat[..., None, :, :]
+          - (lam + delta)[..., :, None, None] * eye10)
+
+    def _invit_step(v_c, _):
+        v_n = jnp.linalg.solve(sh, v_c[..., None])[..., 0]
+        v_n = v_n / (jnp.linalg.norm(v_n, axis=-1, keepdims=True) + 1e-20)
+        bad = ~jnp.all(jnp.isfinite(v_n), axis=-1)
+        v_n = jnp.where(bad[..., None], v_c, v_n)
+        return v_n, None
+
+    v, _ = jax.lax.scan(_invit_step, v, None, length=10)
+    av = jnp.einsum("...ij,...sj->...si", amat, v)
+    # final Rayleigh value for the residual gate (one-shot, no migration)
+    lam = jnp.sum(v * av, axis=-1)
+    eig_res = jnp.linalg.norm(av - lam[..., None] * v, axis=-1)
+    # gate scales with ||A|| (the f32 eigenpair-residual floor), NOT
+    # with |lam|: near-pairs (gap ~3e-2) demand residual well below
+    # the gap or the mixed eigenvector slips through as "valid"
+    is_real = eig_res < 1e-4 * (1.0 + rad[..., None])
+
+    # dedupe-select the 10 best distinct candidates: a candidate is a
+    # duplicate if a strictly better (or equal-and-earlier) candidate
+    # sits at the same eigenvalue; duplicates get a large penalty so
+    # top_k keeps distinct roots first.
+    close = (jnp.abs(lam[..., :, None] - lam[..., None, :])
+             < 1e-3 * (1.0 + jnp.abs(lam[..., :, None])))
+    res_i = eig_res[..., :, None]
+    res_j = eig_res[..., None, :]
+    jj = jax.lax.broadcasted_iota(jnp.int32, close.shape, close.ndim - 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, close.shape, close.ndim - 2)
+    better = (res_j < res_i) | ((res_j == res_i) & (jj < ii))
+    dup = jnp.any(close & better, axis=-1)                   # [..., S]
+    penal = eig_res + jnp.where(dup, 1e6, 0.0) \
+        + jnp.where(is_real, 0.0, 1e3)
+    _, sel = jax.lax.top_k(-penal, 10)                       # [..., 10]
+    take = lambda arr: jnp.take_along_axis(arr, sel, axis=-1)
+    lam = take(lam)
+    is_real = take(is_real)
+    v = jnp.take_along_axis(v, sel[..., None], axis=-2)      # [..., 10, 10]
     denom = v[..., 9]
     safe = jnp.abs(denom) > 1e-8
     denom = jnp.where(safe, denom, 1.0)

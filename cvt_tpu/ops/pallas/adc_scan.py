@@ -7,27 +7,33 @@ graph walk (hnswalg.h:218-282) with a flat HBM-resident code scan.
 Per grid tile of TILE_N code rows (auto-pipelined HBM->VMEM):
   1. DECODE-FIRST (the TPU-native ADC formulation): subspace codes become
      one-hot [K, T] int8 masks contracted with int8-quantized transposed
-     codebooks on the MXU (int8 x int8 -> int32 runs at 2x the bf16 MXU
-     rate), writing a decoded [D, T] tile into VMEM scratch. The
-     per-subspace dequant scale is folded into the QUERY operand (and
-     squared into the norm reduction), so the int8 decode needs no
-     per-tile rescale. Cost 2*K*D flops/row amortized over the WHOLE
-     query batch — versus the CPU LUT-sum's per-query gather loop
-     (2*M*K*B per row). Subspaces are grouped block-diagonally so the
-     decode matmul uses all 128 MXU sublanes (g*ds = 128).
-  2. SCORE: [D, T] x -2*(q*scale) [B_sub, D] MXU matmuls over B_sub-query
-     subtiles, plus the quantized row norms reduced via a 1-wide matmul
-     against scale^2 (self-consistent in the quantized-decode space); the
-     per-query ||q||^2 is added at merge time.
-  3. SELECT: per-128-row SEGMENT minima (+argmins) are the only values
-     that reach HBM — never the [N, B] distance matrix. One small XLA
-     top-k over segment minima finishes the query (the segment lemma in
-     _adc_segmin_kernel makes this exact-by-construction for top-1 and
-     near-exact for k <= seg; exact=True re-scores winning segments).
+     codebooks on the MXU, writing a decoded [D, T] int8 tile into VMEM
+     scratch. The per-subspace dequant scale is folded into the QUERY
+     operand (and squared into the norm reduction), so the decode stays
+     pure int8. Cost 2*K*D flops/row amortized over the WHOLE query
+     batch — versus the CPU LUT-sum's per-query gather loop (2*M*K*B per
+     row). Subspaces are grouped block-diagonally so the decode matmul
+     uses all 128 MXU sublanes (g*ds = 128).
+  2. SCORE: int8 x int8 -> int32 MXU matmuls (double the bf16 rate) of
+     the decoded tile against symmetrically-quantized queries (one
+     runtime scale qs), over B_sub-query subtiles. Row norms are folded
+     in as an int32 column (round(norm/qs)), so scoring is exact integer
+     arithmetic in the qs-scaled space.
+  3. SELECT (packed): the int32 score is packed as  score*seg + lane  —
+     an EXACT lexicographic (distance, position) key, since scores are
+     integers — so one min-reduce yields the per-128-row segment min AND
+     its argmin in a single pass (round 2 spent ~40% of search time on a
+     separate eq/where/min arg chain plus a [B, N/seg] transpose+top_k).
+     The kernel additionally emits each tile's best-two packed segment
+     candidates, so the XLA-side top_k runs on [B, 2*n_tiles] — spt/2 x
+     smaller than the segment-min matrix. Exactness: top-1 exact; for
+     k <= seg, a tile must hold >= 3 true top-k winners (P ~
+     C(k,3)*(tile/N)^2) or a segment >= 2 (P ~ C(k,2)*seg/N) before any
+     winner is displaced; exact=True re-scores whole winning segments.
 
-Measured on one chip (chained in-jit timing, 1M x 64-bit codes): 3.3 ms
-at B=1024 (312k QPS) to 7.5 ms at B=4096 (543k QPS) for phase 1.
-Cross-checked against the pure-XLA engine in tests/test_pallas.py.
+Measured on one chip (chained in-jit timing, 1M x 64-bit codes, B=4096):
+phase 1 + selection ~7 ms (>550k QPS). Cross-checked against the
+pure-XLA engine in tests/test_pallas.py.
 """
 
 from __future__ import annotations
@@ -41,33 +47,52 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 3.4e38  # finite +inf stand-in (inf arithmetic is slow on the VPU)
+# packed-int sentinels: valid packed keys stay well under _PACK_INVALID
+_IMAX = 2_147_000_000
 
 
-def _adc_segmin_kernel(nv_ref, codes_ref, cbt_ref, q2_ref, s2_ref,
-                       segmin_ref, segarg_ref, onehot_ref, dect_ref, *, m,
-                       k_sub, ds, group, tile_n, seg, b_sub):
-    """Phase-1 kernel: int8 decode + score a tile, emit per-SEGMENT min+arg.
+def _pack_caps(seg: int) -> tuple[int, int]:
+    """(valid norm cap, invalid norm marker) for score*seg+lane packing.
+
+    |ip| <= 127*127*128 ~ 2.06e6; valid keys <= (vcap + 2.06e6)*seg and
+    invalid keys >= (ibase - 2.06e6)*seg must stay inside int32 with
+    invalid strictly above valid. Feasible for seg <= 256.
+    """
+    if seg > 256:
+        raise ValueError("packed selection requires seg <= 256")
+    vcap = (2 ** 31) // seg - 8_500_000
+    ibase = vcap + 4_300_000
+    return vcap, ibase
+
+
+def _adc_segmin_kernel(nv_ref, qs_ref, codes_ref, cbt_ref, q2_ref, s2_ref,
+                       segpack_ref, tiletop_ref, onehot_ref, dect_ref, *,
+                       m, k_sub, ds, group, tile_n, seg, b_sub):
+    """Phase-1 kernel: int8 decode + score a tile, emit packed segment
+    minima and the tile's best-two candidates.
 
     Segment lemma: a query's k-th smallest distance tau bounds the
     segments of interest — every candidate <= tau lies in a segment whose
-    min <= tau, and at most k segments have min <= tau. So the k best
-    segments by segment-min contain the exact top-k; their argmins give
-    one candidate each (exact top-1; at higher k a segment holding two
-    winners contributes only its best — vanishing probability at
-    N/seg >> k, and the exact=True path re-scores whole segments).
+    min <= tau, and at most k segments have min <= tau; the same lemma at
+    tile granularity bounds how many tiles matter. Emitting each tile's
+    best TWO segment keys keeps all top-k winners unless a single tile
+    holds three of them (vanishing probability at tile << N/k).
 
     Everything runs in [T, B] orientation: the (T, B) -> (T/seg, seg, B)
     reshape splits SUBLANES, which is layout-free on TPU (the [B, T]
     orientation's lane-split reshape forced a full relayout per subtile
     and made large-B runs 5x slower). Scoring loops over B_sub-query
     subtiles so one decoded tile serves arbitrarily large query batches
-    without growing the [T, B_sub] distance live range.
+    without growing the [T, B_sub] live range.
     """
     i = pl.program_id(0)
     t = tile_n
     g = group
     spt = t // seg                     # segments per tile
     b = q2_ref.shape[0]
+    vcap, ibase = _pack_caps(seg)
+    seg_bits = seg.bit_length() - 1
+    assert seg == 1 << seg_bits, "packed path requires power-of-two seg"
 
     for gi in range(m // g):
         # one-hot built per subspace as [k_sub, T] int8 blocks of the
@@ -86,9 +111,9 @@ def _adc_segmin_kernel(nv_ref, codes_ref, cbt_ref, q2_ref, s2_ref,
             precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.int32)            # [g*ds, T]
         dect_ref[gi * g * ds:(gi + 1) * g * ds, :] = dec_g.astype(
-            jnp.bfloat16)                                # |v|<=127: exact
+            jnp.int8)                                    # |v|<=127: exact
 
-    dec = dect_ref[:, :]                                 # [D, T] bf16
+    dec = dect_ref[:, :]                                 # [D, T] int8
     dec32 = dec.astype(jnp.float32)
     # ||scale * dec||^2 as a [T, 1] column via a 1-wide MXU matmul against
     # the per-dim squared scales (keeps [T, B] orientation, no transposes)
@@ -99,38 +124,66 @@ def _adc_segmin_kernel(nv_ref, codes_ref, cbt_ref, q2_ref, s2_ref,
         preferred_element_type=jnp.float32)              # [T, 1]
     base = i * t
     row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
-    # n_valid is a runtime scalar (SMEM): lets the same executable serve
-    # any database size, and per-shard validity under shard_map
-    dist_base = jnp.where(base + row < nv_ref[0], norm, BIG)
+    qs = qs_ref[0]
+    # integer norm column in the qs-scaled space; invalid rows (runtime
+    # n_valid through SMEM — same executable serves any database size and
+    # per-shard validity under shard_map) get a sentinel that keeps their
+    # packed keys strictly above every valid key
+    norm_i = jnp.clip(jnp.round(norm / qs), 0.0,
+                      jnp.float32(vcap)).astype(jnp.int32)
+    norm_i = jnp.where(base + row < nv_ref[0], norm_i, jnp.int32(ibase))
+    # fold the lane id into the norm column: packed = (ip + norm_i)*seg
+    # + lane, an exact lexicographic (score, lane) key
+    base_col = norm_i * seg + jax.lax.rem(row, seg)      # [T, 1]
 
-    segrow = jax.lax.broadcasted_iota(jnp.int32, (spt, b_sub), 0)
+    rows_spt = jax.lax.broadcasted_iota(jnp.int32, (spt, b_sub), 0)
     for bs in range(b // b_sub):
+        # int8 x int8 -> int32 score at the MXU's double int8 rate;
+        # int32 accumulation is exact, so the packed key is exact too
         ip = jax.lax.dot_general(
             dec, q2_ref[bs * b_sub:(bs + 1) * b_sub, :],
             dimension_numbers=(((0,), (1,)), ((), ())),
             precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32)          # [T, b_sub]
-        dist = ip + dist_base
-        d3 = dist.reshape(spt, seg, b_sub)   # sublane split: layout-free
-        mins = jnp.min(d3, axis=1)                       # [spt, b_sub]
-        segmin_ref[:, bs * b_sub:(bs + 1) * b_sub] = mins
-        lane = jax.lax.broadcasted_iota(jnp.int32, d3.shape, 1)
-        cand = jnp.where(d3 == mins[:, None, :], lane, seg)
-        arg = jnp.min(cand, axis=1)                      # [spt, b_sub]
-        segarg_ref[:, bs * b_sub:(bs + 1) * b_sub] = (
-            base + segrow * seg + arg)                   # global row id
+            preferred_element_type=jnp.int32)            # [T, b_sub]
+        # shift, not multiply: 32-bit integer multiply is emulated on the
+        # VPU and costs more than the whole min-reduce
+        pk = jax.lax.shift_left(ip, seg_bits) + base_col
+        p3 = pk.reshape(spt, seg, b_sub)     # sublane split: layout-free
+        pmins = jnp.min(p3, axis=1)                      # [spt, b_sub]
+        segpack_ref[:, bs * b_sub:(bs + 1) * b_sub] = pmins
+        # tile-level best-two candidates (tiny [spt, b_sub] VPU work);
+        # rows 2/3 carry the FULL row-in-tile (subrow*seg + lane, via
+        # shift/and — exact under two's complement) so selection never
+        # needs to unpack the int keys
+        m1 = jnp.min(pmins, axis=0)                      # [b_sub]
+        sel1 = pmins == m1[None, :]
+        r1 = jnp.min(jnp.where(sel1, rows_spt, spt), axis=0)
+        masked = jnp.where(sel1, _IMAX, pmins)
+        m2 = jnp.min(masked, axis=0)
+        r2 = jnp.min(jnp.where(masked == m2[None, :], rows_spt, spt),
+                     axis=0)
+        lane1 = jax.lax.bitwise_and(m1, seg - 1)
+        lane2 = jax.lax.bitwise_and(m2, seg - 1)
+        sl = slice(bs * b_sub, (bs + 1) * b_sub)
+        tiletop_ref[0, 0, sl] = m1
+        tiletop_ref[0, 1, sl] = m2
+        tiletop_ref[0, 2, sl] = jax.lax.shift_left(r1, seg_bits) + lane1
+        tiletop_ref[0, 3, sl] = jax.lax.shift_left(r2, seg_bits) + lane2
 
 
 @functools.partial(
     jax.jit, static_argnames=("tile_n", "seg", "group", "interpret"))
-def _adc_segmin(q2s, codes_t, cbt_q, s2, n_valid, tile_n, seg, group,
+def _adc_segmin(q2s, qs, codes_t, cbt_q, s2, n_valid, tile_n, seg, group,
                 interpret):
-    """Phase 1: per-segment (min, arg) -> ([Npad/seg, B] f32, i32).
+    """Phase 1 -> (segpack [Npad/seg, B] i32, tiletop [T, 8, B] i32).
 
-    q2s [Bpad, D] bf16 = -2 * q * scale_row; cbt_q [G, g*ds, g*K] int8
-    block-diagonal transposed codebooks; s2 [D, 1] f32 = scale_row^2.
-    n_valid may be a python int OR a traced scalar (per-shard validity
-    under shard_map) — it reaches the kernel through SMEM.
+    segpack rows are packed (score*seg + lane) segment minima; tiletop
+    rows 0/1 are each tile's two best packed keys, rows 2/3 the segment
+    sub-rows they came from (rows 4-7 pad Mosaic's 8-sublane block).
+    q2s [Bpad, D] int8 = quantize(-2 * q * scale_row); qs f32 scalar
+    dequant scale; cbt_q [G, g*ds, g*K] int8 block-diagonal transposed
+    codebooks; s2 [D, 1] f32 = scale_row^2. n_valid may be a python int
+    OR a traced scalar — it reaches the kernel through SMEM, as does qs.
     """
     b, d = q2s.shape
     mpad, npad = codes_t.shape
@@ -150,10 +203,12 @@ def _adc_segmin(q2s, codes_t, cbt_q, s2, n_valid, tile_n, seg, group,
         tile_n=tile_n, seg=seg, b_sub=b_sub)
     out_rows = tile_n // seg
     nv = jnp.full((1,), n_valid, jnp.int32)
-    segmin, segarg = pl.pallas_call(
+    qsa = jnp.full((1,), qs, jnp.float32)
+    segpack, tiletop = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((mpad, tile_n), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -164,25 +219,33 @@ def _adc_segmin(q2s, codes_t, cbt_q, s2, n_valid, tile_n, seg, group,
         out_specs=(
             pl.BlockSpec((out_rows, b), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_rows, b), lambda i: (i, 0),
+            pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((npad // seg, b), jnp.float32),
             jax.ShapeDtypeStruct((npad // seg, b), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 8, b), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((group * k_sub, tile_n), jnp.int8),
-            pltpu.VMEM((d, tile_n), jnp.bfloat16),
+            pltpu.VMEM((d, tile_n), jnp.int8),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * (k_sub * d * group + d * b),
-            bytes_accessed=npad * mpad * 4 + 2 * b * npad // seg * 4,
+            bytes_accessed=npad * mpad * 4 + b * npad // seg * 4,
             transcendentals=0,
         ),
-    )(nv, codes_t, cbt_q, q2s, s2)
-    return segmin, segarg
+    )(nv, qsa, codes_t, cbt_q, q2s, s2)
+    return segpack, tiletop
+
+
+def _unpack(packed, seg: int):
+    """packed i32 key -> (score i32, lane i32). Exact for any sign of
+    score: lane = floor-mod(packed, seg)."""
+    lane = jnp.mod(packed, seg)
+    score = (packed - lane) // seg
+    return score, lane
 
 
 @functools.partial(jax.jit, static_argnames=("k", "seg", "n_valid"))
@@ -215,13 +278,21 @@ def _rescore_segments(q, q_sq, seg_ids, codes, dec_sq, codebooks, k, seg,
 
 
 def _fold_queries(q, srow):
-    """q [B, D] f32 -> (-2 * q * scale_row) bf16, padded to B % 128 == 0."""
+    """q [B, D] f32 -> (q2s [Bpad, D] int8, qs f32 scalar) with
+    q2s * qs ~= -2 * q * scale_row, padded to B % 128 == 0.
+
+    Symmetric per-BATCH quantization: one runtime scale for the whole
+    query operand keeps the kernel's dequant a single scalar on the
+    int32 score, preserving exact integer packing."""
     b = q.shape[0]
     bpad = -(-b // 128) * 128
-    q2s = (-2.0 * q * srow[None, :]).astype(jnp.bfloat16)
+    q2 = -2.0 * q * srow[None, :]
+    qs = jnp.max(jnp.abs(q2)) / 127.0
+    qs = jnp.maximum(qs, 1e-30)
+    q2s = jnp.clip(jnp.round(q2 / qs), -127.0, 127.0).astype(jnp.int8)
     if bpad != b:
         q2s = jnp.pad(q2s, ((0, bpad - b), (0, 0)))
-    return q2s
+    return q2s, qs
 
 
 @functools.partial(
@@ -229,18 +300,44 @@ def _fold_queries(q, srow):
                               "interpret"))
 def _adc_search_fast(q, codes_t, cbt_q, srow, k, n_valid, tile_n, seg,
                      group, interpret):
-    """One fused jit: query prep + segmin kernel + selection (the eager
-    per-op dispatch overhead of a split pipeline dwarfed the kernel)."""
+    """One fused jit: query prep + packed kernel + tile-top2 selection.
+
+    The kernel already reduced each tile to its best two packed
+    (score, lane) keys, so selection is a top_k over [B, 2*n_tiles]
+    followed by integer unpacking — no big transposes, no arg gathers.
+    """
     b = q.shape[0]
     q_sq = jnp.sum(jnp.square(q), axis=-1)
-    q2s = _fold_queries(q, srow)
+    q2s, qs = _fold_queries(q, srow)
     s2 = (srow * srow)[:, None]
-    segmin, segarg = _adc_segmin(q2s, codes_t, cbt_q, s2, n_valid, tile_n,
-                                 seg, group, interpret)  # [Npad/seg, Bpad]
-    segmin, segarg = segmin.T[:b], segarg.T[:b]
-    neg, j = jax.lax.top_k(-segmin, k)
-    ids = jnp.take_along_axis(segarg, j, axis=-1)
-    return -neg + q_sq[:, None], ids
+    segpack, tiletop = _adc_segmin(q2s, qs, codes_t, cbt_q, s2, n_valid,
+                                   tile_n, seg, group, interpret)
+    n_tiles = tiletop.shape[0]
+    spt = tile_n // seg
+    if 2 * n_tiles < k or spt < 2:
+        # tiny database: flat selection over all packed segment minima
+        neg, j = jax.lax.top_k(-segpack.T[:b], min(k, segpack.shape[0]))
+        packed = -neg
+        score, lane = _unpack(packed, seg)
+        ids = j * seg + lane
+        dist = score.astype(jnp.float32) * qs + q_sq[:, None]
+        if ids.shape[1] < k:
+            pad = ((0, 0), (0, k - ids.shape[1]))
+            dist = jnp.pad(dist, pad, constant_values=BIG)
+            ids = jnp.pad(ids, pad, constant_values=np.int32(2 ** 30))
+        return dist, ids
+    packs = jnp.concatenate([tiletop[:, 0, :], tiletop[:, 1, :]],
+                            axis=0)                      # [2T, Bpad]
+    rows = jnp.concatenate([tiletop[:, 2, :], tiletop[:, 3, :]], axis=0)
+    # rank via f32 keys: int32 top_k lowers to a generic sort ~10x
+    # slower; the f32 cast is monotone (ties within one ulp are already
+    # inside the key's rounding noise), and ids come from `rows`
+    neg, j = jax.lax.top_k(-packs.astype(jnp.float32).T[:b], k)
+    tile = jnp.where(j < n_tiles, j, j - n_tiles)
+    rowint = jnp.take_along_axis(rows.T[:b], j, axis=-1)
+    ids = tile * tile_n + rowint
+    dist = (-neg / seg) * qs + q_sq[:, None]
+    return dist, ids
 
 
 @functools.partial(
@@ -250,13 +347,14 @@ def _adc_search_exact(q, codes_t, cbt_q, srow, codes, dec_sq, codebooks, k,
                       n_valid, tile_n, seg, group, slack, interpret):
     b = q.shape[0]
     q_sq = jnp.sum(jnp.square(q), axis=-1)
-    q2s = _fold_queries(q, srow)
+    q2s, qs = _fold_queries(q, srow)
     s2 = (srow * srow)[:, None]
-    segmin, _ = _adc_segmin(q2s, codes_t, cbt_q, s2, n_valid, tile_n,
-                            seg, group, interpret)
-    segmin = segmin.T[:b]
-    n_seg_take = min(k + slack, segmin.shape[1])
-    _, seg_ids = jax.lax.top_k(-segmin, n_seg_take)      # [B, S]
+    segpack, _ = _adc_segmin(q2s, qs, codes_t, cbt_q, s2, n_valid,
+                             tile_n, seg, group, interpret)
+    # packed keys rank identically to segment minima, so segment
+    # selection needs no unpacking
+    n_seg_take = min(k + slack, segpack.shape[0])
+    _, seg_ids = jax.lax.top_k(-segpack.T[:b], n_seg_take)   # [B, S]
     return _rescore_segments(q, q_sq, seg_ids, codes, dec_sq, codebooks,
                              k, seg, n_valid)
 
@@ -266,14 +364,15 @@ def adc_search(q, q_sq, codes, dec_sq, codebooks, k, n_valid, *,
                tile_n: int | None = None, seg: int = 128,
                slack: int = 4, exact: bool = False,
                interpret: bool | None = None):
-    """Two-phase fused ADC search: Pallas segment-min scan + selection.
+    """Two-phase fused ADC search: Pallas packed segment scan + selection.
 
-    Fast path (default): the top-k segments' argmins ARE the results —
-    exact top-1 always; for k > 1 a segment holding two true winners
-    contributes only its best (probability ~ k^2/(2 N/seg), negligible at
-    scale). exact=True re-scores the k+slack winning segments in f32 for
-    guaranteed exact top-k (w.r.t. phase-1 quantized scoring). Any
-    k <= seg. q_sq may be None (recomputed inside the fused jit).
+    Fast path (default): the top-k packed tile candidates ARE the
+    results — exact top-1 always; for k > 1 a segment holding two true
+    winners contributes only its best and a tile holding three
+    contributes only two (both vanishing at scale). exact=True re-scores
+    the k+slack winning segments in f32 for guaranteed exact top-k
+    w.r.t. phase-1 quantized scoring. Any k <= seg. q_sq may be None
+    (recomputed inside the fused jit).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

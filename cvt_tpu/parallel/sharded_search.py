@@ -45,18 +45,36 @@ def _local_pallas_topk(q, codes_t_l, cbt_q, srow, k, n_valid, tile_n, seg,
     has fewer segments than k, candidates are padded to k columns with
     (BIG, 2^30) so the cross-shard merge shapes stay uniform.
     """
-    from cvt_tpu.ops.pallas.adc_scan import _adc_segmin, _fold_queries
+    from cvt_tpu.ops.pallas.adc_scan import (_adc_segmin, _fold_queries,
+                                             _unpack)
     b = q.shape[0]
     q_sq = jnp.sum(jnp.square(q), axis=-1)
-    q2s = _fold_queries(q, srow)
+    q2s, qs = _fold_queries(q, srow)
     s2 = (srow * srow)[:, None]
-    segmin, segarg = _adc_segmin(q2s, codes_t_l, cbt_q, s2, n_valid,
-                                 tile_n, seg, group, interpret)
-    segmin, segarg = segmin.T[:b], segarg.T[:b]
-    kk = min(k, segmin.shape[1])
-    neg, j = jax.lax.top_k(-segmin, kk)
-    ids = jnp.take_along_axis(segarg, j, axis=-1)
-    d = -neg + q_sq[:, None]
+    segpack, tiletop = _adc_segmin(q2s, qs, codes_t_l, cbt_q, s2, n_valid,
+                                   tile_n, seg, group, interpret)
+    # packed tile-top2 selection (mirrors adc_scan._adc_search_fast —
+    # no transposes or arg gathers; keys are exact (score, lane) ints)
+    n_tiles = tiletop.shape[0]
+    spt = tile_n // seg
+    kk = min(k, segpack.shape[0])
+    if 2 * n_tiles < kk or spt < 2:
+        neg, j = jax.lax.top_k(-segpack.T[:b], kk)
+        packed = -neg
+        score, lane = _unpack(packed, seg)
+        ids = j * seg + lane
+        d = score.astype(jnp.float32) * qs + q_sq[:, None]
+    else:
+        packs = jnp.concatenate([tiletop[:, 0, :], tiletop[:, 1, :]],
+                                axis=0)
+        rows = jnp.concatenate([tiletop[:, 2, :], tiletop[:, 3, :]],
+                               axis=0)
+        # f32 ranking keys: int32 top_k lowers to a ~10x slower sort
+        neg, j = jax.lax.top_k(-packs.astype(jnp.float32).T[:b], kk)
+        tile = jnp.where(j < n_tiles, j, j - n_tiles)
+        rowint = jnp.take_along_axis(rows.T[:b], j, axis=-1)
+        ids = tile * tile_n + rowint
+        d = (-neg / seg) * qs + q_sq[:, None]
     if kk < k:
         d = jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=_BIG)
         ids = jnp.pad(ids, ((0, 0), (0, k - kk)),

@@ -131,9 +131,13 @@ def test_orientation_duplication():
     import numpy as np
     h = w = 64
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    # two crossing ridges at +-45 degrees
-    img = (np.exp(-((xx - yy) ** 2) / 8.0)
-           + np.exp(-((xx + yy - w) ** 2) / 8.0)).astype(np.float32)
+    # two crossing ridges at +-45 degrees. Width matters: with /8.0 the
+    # crossing blob's characteristic scale (~1.4 px) sits BELOW octave
+    # 0's base scale (1.6), so DoG magnitude decreases monotonically
+    # along scale and no 3-D extremum exists at first_octave=0 (correct
+    # rejection, not a detector bug). /50.0 puts the blob mid-octave.
+    img = (np.exp(-((xx - yy) ** 2) / 50.0)
+           + np.exp(-((xx + yy - w) ** 2) / 50.0)).astype(np.float32)
     img = img / img.max()
     f1 = extract_sift(img[None], max_features=16, first_octave=0,
                       n_orientations=1)

@@ -44,12 +44,20 @@ def test_fast_path_matches_xla_engine(small_pq):
     idx = FlatADCIndex(pq, chunk=1024, impl="xla")
     idx.add(codes=pq.encode(base))
     d_x, i_x = idx.search(queries[:32], 10)
-    # kernel norms come from the bf16 decode (self-consistent) while the
-    # XLA engine uses f32 precomputed norms -> distances agree loosely,
-    # top-1 agrees except on near-ties
-    assert (np.asarray(i_pl)[:, 0] == np.asarray(i_x)[:, 0]).mean() > 0.9
+    # tie-aware top-1 check: the int8 kernel may reorder NEAR-TIED
+    # candidates (clustered synthetic data decodes many points to nearly
+    # identical vectors), so assert the kernel's top-1 achieves a true
+    # f32 ADC distance within int8 tolerance of the true minimum instead
+    # of raw id equality
+    dist = _f32_adc_dist(pq, pq.encode(base), queries[:32])
+    got = dist[np.arange(32), np.asarray(i_pl)[:, 0]]
+    best = dist.min(axis=1)
+    np.testing.assert_array_less(got, best * 1.02 + 1.0)
+    # REPORTED values from the fast path are int8-scored (query + decode
+    # quantization): ~accurate to ~10% worst-case — rankings above are
+    # what the kernel guarantees; exact=True reports f32 values
     np.testing.assert_allclose(np.asarray(d_pl)[:, 0],
-                               np.asarray(d_x)[:, 0], rtol=5e-2, atol=1.0)
+                               np.asarray(d_x)[:, 0], rtol=0.15, atol=1.0)
 
 
 def test_exact_path_full_topk(small_pq):
@@ -69,7 +77,11 @@ def test_exact_path_full_topk(small_pq):
     np.testing.assert_allclose(np.sort(np.asarray(d), -1),
                                np.sort(np.asarray(de), -1),
                                rtol=1e-2, atol=0.5)
-    assert (np.asarray(i)[:, 0] == np.asarray(ie)[:, 0]).mean() > 0.9
+    # tie-aware: decoded near-duplicates differ by less than f32
+    # round-off (observed gaps ~1e-6 relative), so compare achieved
+    # distance, not id identity
+    np.testing.assert_allclose(np.asarray(d)[:, 0],
+                               np.asarray(de)[:, 0], rtol=1e-4, atol=0.5)
 
 
 def test_n_not_multiple_of_tile(small_pq):
@@ -86,10 +98,10 @@ def test_n_not_multiple_of_tile(small_pq):
         assert np.all(np.isfinite(np.asarray(d))), exact
 
 
-def _f32_adc_top1(pq, codes, q):
-    """True full-precision ADC top-1 (numpy): the reference semantics
-    both engines approximate (XLA engine: bf16 decode; Pallas fast path:
-    int8 decode)."""
+def _f32_adc_dist(pq, codes, q):
+    """True full-precision ADC distance matrix [B, N] (numpy): the
+    reference semantics both engines approximate (XLA engine: bf16
+    decode; Pallas fast path: int8 decode)."""
     cb = np.asarray(pq.codebooks)
     m, _, ds = cb.shape
     codes = np.asarray(codes)
@@ -101,8 +113,11 @@ def _f32_adc_top1(pq, codes, q):
     dsq = cbn[np.arange(m)[None, :], codes].sum(-1)           # [N]
     cross = ip[np.arange(b)[:, None, None], np.arange(m)[None, None, :],
                codes[None, :, :]].sum(-1)                     # [B, N]
-    dist = (q ** 2).sum(-1)[:, None] + dsq[None, :] - 2.0 * cross
-    return dist.argmin(1)
+    return (q ** 2).sum(-1)[:, None] + dsq[None, :] - 2.0 * cross
+
+
+def _f32_adc_top1(pq, codes, q):
+    return _f32_adc_dist(pq, codes, q).argmin(1)
 
 
 def test_flat_adc_index_pallas_impl(small_pq):
@@ -112,13 +127,18 @@ def test_flat_adc_index_pallas_impl(small_pq):
     ground truth (not against the bf16 XLA engine, which is itself an
     approximation)."""
     pq, base, queries = small_pq
-    gt1 = _f32_adc_top1(pq, pq.encode(base), queries[:16])
+    dist = _f32_adc_dist(pq, pq.encode(base), queries[:16])
+    best = dist.min(axis=1)
     idx = FlatADCIndex(pq, impl="pallas")
     idx.add(base)
     d, i = idx.search(queries[:16], 10)
-    assert (np.asarray(i)[:, 0] == gt1).mean() >= 0.9
+    # tie-aware (see test_fast_path_matches_xla_engine): int8 tolerance
+    got = dist[np.arange(16), np.asarray(i)[:, 0]]
+    np.testing.assert_array_less(got, best * 1.02 + 1.0)
     d_e, i_e = idx.search(queries[:16], 10, exact=True)
-    assert (np.asarray(i_e)[:, 0] == gt1).mean() == 1.0
+    # f32 rescore: achieved distance matches the true min to round-off
+    got_e = dist[np.arange(16), np.asarray(i_e)[:, 0]]
+    np.testing.assert_allclose(got_e, best, rtol=1e-4, atol=0.5)
 
 
 def test_fast_path_exact_for_top1(small_pq):
