@@ -10,7 +10,7 @@ from cvt_tpu.match.vote_verify import vote_and_verify
 from cvt_tpu.match.epipolar import (
     fit_fundamental_8pt, fit_fundamental_7pt, fit_essential_5pt,
     solve_cubic_real, essential_from_fundamental, sampson_error,
-    ransac_fundamental)
+    ransac_fundamental, ransac_essential)
 from cvt_tpu.match.pose import (
     p3p, kabsch, fit_pnp_dlt, ransac_pnp, triangulate_dlt,
     decompose_essential, pose_from_essential, solve_quartic)
@@ -29,7 +29,7 @@ __all__ = [
     "fit_affine", "fit_homography_dlt", "apply_affine", "apply_homography",
     "ransac", "ransac_preemptive", "RansacResult", "vote_and_verify",
     "fit_fundamental_8pt", "essential_from_fundamental", "sampson_error",
-    "ransac_fundamental",
+    "ransac_fundamental", "ransac_essential",
     "p3p", "kabsch", "fit_pnp_dlt", "ransac_pnp", "triangulate_dlt",
     "decompose_essential", "pose_from_essential", "solve_quartic",
     "world_to_image", "image_to_world", "calibration_matrix",

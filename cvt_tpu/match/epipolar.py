@@ -86,10 +86,46 @@ def sampson_error(f: jax.Array, src: jax.Array, dst: jax.Array):
     return num / jnp.maximum(den, 1e-12)
 
 
+def _score_and_lo(src, dst, valid, models, model_ok, threshold,
+                  essential: bool = False):
+    """Shared RANSAC tail: Sampson-score a flat model stack [S, 3, 3],
+    pick the best valid model, LO-refit with the weighted 8-point over
+    the winner's inliers (projected to an essential matrix when
+    essential=True), and keep whichever supports more inliers."""
+    n = src.shape[0]
+    s = models.shape[0]
+    err = sampson_error(models, jnp.broadcast_to(src, (s, n, 2)),
+                        jnp.broadcast_to(dst, (s, n, 2)))
+    inl = (err < threshold * threshold) & valid[None, :]
+    support = jnp.sum(inl, axis=-1)
+    finite = jnp.all(jnp.isfinite(models.reshape(s, -1)), -1) & model_ok
+    support = jnp.where(finite, support, -1)
+    best = jnp.argmax(support)
+    # LO refit: weighted 8-point over ALL points with the winner's inlier
+    # mask as row weights (zero rows drop out of the null-space fit)
+    w = inl[best]
+    f2 = fit_fundamental_8pt(src, dst, w.astype(jnp.float32))
+    if essential:
+        u, _, vt = jnp.linalg.svd(f2)
+        sv = jnp.ones((3,), f2.dtype).at[2].set(0.0)
+        f2 = jnp.einsum("ij,j,jk->ik", u, sv, vt)
+    err2 = sampson_error(f2, src, dst)
+    inl2 = (err2 < threshold * threshold) & valid
+    better = jnp.sum(inl2) > support[best]
+    model = jnp.where(better, f2, models[best])
+    inliers = jnp.where(better, inl2, w)
+    n_inl = jnp.sum(inliers).astype(jnp.int32)
+    return model, inliers, n_inl
+
+
 def ransac_fundamental(key, src, dst, valid=None, *,
                        threshold: float = 2.0, n_hypotheses: int = 256,
-                       min_inliers: int = 12):
+                       min_inliers: int = 12, method: str = "8pt"):
     """Batched-hypothesis RANSAC for F with Sampson scoring.
+
+    method: "8pt" (normalized DLT hypotheses) or "7pt" (the reference's
+    minimal solver, FundamentalMatrixSevenPointEstimator — each sample
+    yields up to 3 model candidates, all scored).
     src/dst [N, 2]; returns (F [3,3], inliers [N] bool, n_inliers)."""
     src = jnp.asarray(src, jnp.float32)
     dst = jnp.asarray(dst, jnp.float32)
@@ -98,26 +134,45 @@ def ransac_fundamental(key, src, dst, valid=None, *,
         valid = jnp.ones((n,), bool)
     logits = jnp.where(valid, 0.0, -jnp.inf)
     g = jax.random.gumbel(key, (n_hypotheses, n)) + logits[None, :]
-    _, picks = jax.lax.top_k(g, 8)
-    models = fit_fundamental_8pt(src[picks], dst[picks])   # [S, 3, 3]
-    err = sampson_error(models, jnp.broadcast_to(src, (n_hypotheses, n, 2)),
-                        jnp.broadcast_to(dst, (n_hypotheses, n, 2)))
-    inl = (err < threshold * threshold) & valid[None, :]
-    support = jnp.sum(inl, axis=-1)
-    finite = jnp.all(jnp.isfinite(models.reshape(n_hypotheses, -1)), -1)
-    support = jnp.where(finite, support, -1)
-    best = jnp.argmax(support)
-    # LO refit: weighted 8-point over ALL points with the winner's inlier
-    # mask as row weights (zero rows drop out of the null-space fit)
-    w = inl[best]
-    f2 = fit_fundamental_8pt(src, dst, w.astype(jnp.float32))
-    err2 = sampson_error(f2, src, dst)
-    inl2 = (err2 < threshold * threshold) & valid
-    better = jnp.sum(inl2) > support[best]
-    model = jnp.where(better, f2, models[best])
-    inliers = jnp.where(better, inl2, w)
-    n_inl = jnp.sum(inliers).astype(jnp.int32)
-    return model, inliers, n_inl
+    if method == "7pt":
+        _, picks = jax.lax.top_k(g, 7)
+        cands, ok = fit_fundamental_7pt(src[picks], dst[picks])
+        models = cands.reshape(n_hypotheses * 3, 3, 3)
+        model_ok = ok.reshape(n_hypotheses * 3)
+    elif method == "8pt":
+        _, picks = jax.lax.top_k(g, 8)
+        models = fit_fundamental_8pt(src[picks], dst[picks])  # [S, 3, 3]
+        model_ok = jnp.ones((n_hypotheses,), bool)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return _score_and_lo(src, dst, valid, models, model_ok, threshold)
+
+
+def ransac_essential(key, x1, x2, valid=None, *,
+                     threshold: float = 0.01, n_hypotheses: int = 64,
+                     min_inliers: int = 12):
+    """Batched-hypothesis RANSAC for the essential matrix using the
+    5-point minimal solver (EssentialMatrixFivePointEstimator +
+    RANSAC<> in the reference, essential.cc / ransac.h:184-259).
+
+    x1/x2 [N, 2] in NORMALIZED camera coordinates (K^-1 applied);
+    threshold is the Sampson distance in normalized units. Each of the
+    n_hypotheses 5-point samples yields up to 10 essential candidates —
+    all are scored in one batch. Returns (E [3,3], inliers [N],
+    n_inliers)."""
+    x1 = jnp.asarray(x1, jnp.float32)
+    x2 = jnp.asarray(x2, jnp.float32)
+    n = x1.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    g = jax.random.gumbel(key, (n_hypotheses, n)) + logits[None, :]
+    _, picks = jax.lax.top_k(g, 5)
+    cands, ok = fit_essential_5pt(x1[picks], x2[picks])  # [S, 10, 3, 3]
+    models = cands.reshape(n_hypotheses * 10, 3, 3)
+    model_ok = ok.reshape(n_hypotheses * 10)
+    return _score_and_lo(x1, x2, valid, models, model_ok, threshold,
+                         essential=True)
 
 
 # ---------------------------------------------------------------------------

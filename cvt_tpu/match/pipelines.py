@@ -174,11 +174,19 @@ def match_pairs(db: FeatureDatabase, pairs: Iterable[tuple[int, int]], *,
                 ratio: float = 0.8, cross_check: bool = True,
                 max_dist: float = 0.7 ** 2 * 2.0,
                 min_num_matches: int = 15,
-                verify: bool = True, seed: int = 0,
+                verify: bool = True, guided: bool = False,
+                guided_error: float = 4.0, seed: int = 0,
                 skip_existing: bool = True) -> MatchPipelineStats:
     """Match descriptor sets for each pair, optionally verify two-view
     geometry, store both in the database. Pairs already matched are
     skipped (the reference's resume semantics).
+
+    guided=True re-matches each verified pair with the estimated
+    geometry as a candidate gate (SiftMatchingOptions.guided_matching,
+    sift.cc:252-340): the Lowe ratio runs only among geometrically
+    plausible candidates, recovering matches the plain ratio rejected.
+    The guided match set replaces the stored two-view inlier matches
+    when it is larger.
 
     Descriptors are padded per-image to bucketed [K, D] shapes so the
     jitted matmul matcher compiles once per (bucket1, bucket2) pair.
@@ -236,8 +244,29 @@ def match_pairs(db: FeatureDatabase, pairs: Iterable[tuple[int, int]], *,
                 sub, src, dst, min_inliers=min_num_matches)
             inl = np.nonzero(geom.inliers)[0]
             model = geom.h if geom.h is not None else geom.f
+            tv_matches = matches[inl]
+            if (guided and model is not None
+                    and geom.config_name != "degenerate"):
+                from cvt_tpu.match.guided import match_guided
+                pa = np.zeros((da.shape[0], 2), np.float32)
+                pa[:len(kpa)] = kpa[:, :2]
+                pb = np.zeros((dbv.shape[0], 2), np.float32)
+                pb[:len(kpb)] = kpb[:, :2]
+                mtype = ("homography" if geom.h is not None
+                         else "fundamental")
+                gres = match_guided(
+                    da, dbv, jnp.asarray(pa), jnp.asarray(pb),
+                    jnp.asarray(model), model_type=mtype,
+                    max_error=guided_error, ratio=ratio,
+                    cross_check=cross_check, max_dist=max_dist,
+                    valid1=va, valid2=vb)
+                gok = np.asarray(gres.valid)
+                g1 = np.nonzero(gok)[0].astype(np.int32)
+                g2 = np.asarray(gres.idx2)[gok].astype(np.int32)
+                if len(g1) > len(tv_matches):
+                    tv_matches = np.stack([g1, g2], -1)
             db.write_two_view_geometry(
-                a, b, matches[inl], config=geom.config,
+                a, b, tv_matches, config=geom.config,
                 model=None if model is None else model.reshape(-1))
             stats.configs[geom.config_name] = (
                 stats.configs.get(geom.config_name, 0) + 1)

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from cvt_tpu.match.epipolar import (essential_from_fundamental,
-                                    ransac_fundamental, sampson_error)
+                                    ransac_essential, ransac_fundamental,
+                                    sampson_error)
 from cvt_tpu.match.pose import pose_from_essential
 from cvt_tpu.match.ransac import ransac
 
@@ -64,17 +65,22 @@ def estimate_two_view_geometry(key, src, dst, valid=None, *,
                                h_threshold: float = 12.0,
                                min_inliers: int = 15,
                                max_h_inlier_ratio: float = 0.8,
+                               min_e_f_inlier_ratio: float = 0.95,
                                n_hypotheses: int = 256) -> TwoViewGeometry:
     """Estimate F and H for matched points src/dst [N, 2] (pixels) and
-    classify the configuration. With intrinsics k1/k2 [3,3], also
-    recovers the relative pose (R, t) via E + chirality.
+    classify the configuration. With intrinsics k1/k2 [3,3], E is ALSO
+    estimated directly via the 5-point RANSAC (the reference's
+    EstimateCalibrated path, two_view_geometry.cc): the pair is
+    CALIBRATED when E supports >= min_e_f_inlier_ratio of F's inliers
+    (E's stricter model holding up means the intrinsics are right), and
+    the relative pose (R, t) comes from E + chirality.
     """
     src = jnp.asarray(src, jnp.float32)
     dst = jnp.asarray(dst, jnp.float32)
     n = src.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
-    kf, kh = jax.random.split(jax.random.fold_in(key, 0))
+    kf, kh, ke = jax.random.split(jax.random.fold_in(key, 0), 3)
 
     fmat, f_inl, f_n = ransac_fundamental(
         kf, src, dst, valid, threshold=f_threshold,
@@ -85,30 +91,47 @@ def estimate_two_view_geometry(key, src, dst, valid=None, *,
     f_n_i = int(f_n)
     h_n_i = int(hres.n_inliers)
 
-    if max(f_n_i, h_n_i) < min_inliers:
+    calibrated = k1 is not None and k2 is not None
+    e_n_i = 0
+    emat = e_inl = None
+    if calibrated:
+        k1j = jnp.asarray(k1, jnp.float32)
+        k2j = jnp.asarray(k2, jnp.float32)
+        x1 = _normalize_points(src, k1j)
+        x2 = _normalize_points(dst, k2j)
+        # pixel threshold -> normalized units via the mean focal length
+        focal = float(np.mean([k1[0][0], k1[1][1], k2[0][0], k2[1][1]]))
+        emat, e_inl, e_n = ransac_essential(
+            ke, x1, x2, valid, threshold=f_threshold / focal,
+            n_hypotheses=max(32, n_hypotheses // 4))
+        e_n_i = int(e_n)
+
+    if max(f_n_i, h_n_i, e_n_i) < min_inliers:
         return TwoViewGeometry(DEGENERATE, None, None,
                                np.zeros(int(n), bool), 0)
 
-    h_f_ratio = h_n_i / max(f_n_i, 1)
-    calibrated = k1 is not None and k2 is not None
+    h_f_ratio = h_n_i / max(f_n_i, e_n_i, 1)
     if h_f_ratio > max_h_inlier_ratio:
         # planar or pure-rotation scene: homography wins
         config = PLANAR_OR_PANORAMIC
         return TwoViewGeometry(config, np.asarray(fmat),
                                np.asarray(hres.model),
                                np.asarray(hres.inliers), h_n_i)
-    config = CALIBRATED if calibrated else UNCALIBRATED
     r = t = None
+    if calibrated and e_n_i >= min_e_f_inlier_ratio * max(f_n_i, 1):
+        # E holds up against F: CALIBRATED; pose from the 5-point E
+        rr, tt, _ = pose_from_essential(emat, x1, x2, e_inl)
+        r, t = np.asarray(rr), np.asarray(tt)
+        return TwoViewGeometry(CALIBRATED, np.asarray(emat), None,
+                               np.asarray(e_inl), e_n_i, r=r, t=t)
     if calibrated:
-        k1j = jnp.asarray(k1, jnp.float32)
-        k2j = jnp.asarray(k2, jnp.float32)
-        e = essential_from_fundamental(fmat, k1j, k2j)
-        # normalized coords for chirality
-        x1 = _normalize_points(src, k1j)
-        x2 = _normalize_points(dst, k2j)
+        # intrinsics unreliable for this pair: fall back to F, pose via
+        # E-from-F (the reference's UNCALIBRATED-with-prior behavior)
+        e = essential_from_fundamental(
+            fmat, jnp.asarray(k1, jnp.float32), jnp.asarray(k2, jnp.float32))
         rr, tt, _ = pose_from_essential(e, x1, x2, f_inl)
         r, t = np.asarray(rr), np.asarray(tt)
-    return TwoViewGeometry(config, np.asarray(fmat), None,
+    return TwoViewGeometry(UNCALIBRATED, np.asarray(fmat), None,
                            np.asarray(f_inl), f_n_i, r=r, t=t)
 
 

@@ -164,3 +164,38 @@ def test_vote_and_verify_similarity(rng):
     assert float(res.score) >= 25
     assert inl[:35].mean() > 0.8
     assert inl[-15:].mean() < 0.2
+
+
+def test_vote_and_verify_pyramid_beats_single_level(rng):
+    """Cluttered scene (VERDICT r2 item 8): the true transform's votes
+    are jittered across several ADJACENT fine bins, while a decoy
+    transform concentrates all its votes in ONE bin. Single-level
+    scoring (n_levels=1) seeds from the decoy bin; the multi-resolution
+    pyramid aggregates the true cluster's parent votes and wins
+    (vote_and_verify.cc:294-318). n_seeds=1 isolates the scoring."""
+    n_true, n_decoy = 20, 8
+    x1t = rng.uniform(50, 450, (n_true, 2)).astype(np.float32)
+    # true transform: identity rotation/scale, translation (64, 64) —
+    # exactly a translation-bin BOUNDARY (bin width 64 px at
+    # image_extent=512, bins_t=16), so +-40 px jitter splits the votes
+    # evenly over a 2x2 block of fine bins (~5 votes each)
+    jit = rng.uniform(-40, 40, (n_true, 2)).astype(np.float32)
+    x2t = x1t + np.float32([64.0, 64.0]) + jit
+    x1d = rng.uniform(50, 450, (n_decoy, 2)).astype(np.float32)
+    # decoy: one EXACT consistent translation, all votes in one bin
+    x2d = x1d + np.float32([-200.0, 150.0])
+    sig = rng.uniform(2, 4, n_true + n_decoy).astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi, n_true + n_decoy).astype(np.float32)
+    f1 = np.concatenate([np.concatenate([x1t, x1d]), sig[:, None],
+                         ang[:, None]], 1).astype(np.float32)
+    f2 = np.concatenate([np.concatenate([x2t, x2d]), sig[:, None],
+                         ang[:, None]], 1).astype(np.float32)
+    res_flat = vote_and_verify(f1, f2, image_extent=512.0, n_seeds=1,
+                               n_levels=1, threshold=60.0)
+    res_pyr = vote_and_verify(f1, f2, image_extent=512.0, n_seeds=1,
+                              n_levels=6, threshold=60.0)
+    # flat scoring locks onto the decoy (8 inliers); the pyramid ranks
+    # the true cluster's bin first (20 jittered inliers at thresh 60)
+    assert float(res_pyr.n_inliers) > float(res_flat.n_inliers)
+    assert np.asarray(res_pyr.inliers)[:n_true].mean() > 0.8
+    assert np.asarray(res_flat.inliers)[n_true:].mean() > 0.8
