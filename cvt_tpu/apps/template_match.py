@@ -49,27 +49,86 @@ def octave_validate(sigma1, sigma2, valid, *, n_bins: int = 11,
     return valid & (bins == best) & ok
 
 
+def hog_descriptor(img, *, cell: int = 8, n_bins: int = 9):
+    """Batched HOG: [..., H, W] gray -> [..., nH*nW*n_bins] f32,
+    L2-normalized. The logo detector's SECONDARY decision signal
+    (logo_detection/src/logo.cc:360-394 computes a HOG distance between
+    the template and its matched subwindow). Unsigned orientation
+    (mod pi), hard cell binning — batched, no per-pixel loops."""
+    img = jnp.asarray(img, jnp.float32)
+    h, w = img.shape[-2], img.shape[-1]
+    hc, wc = (h // cell) * cell, (w // cell) * cell
+    g = img[..., :hc, :wc]
+    gx = 0.5 * (jnp.roll(g, -1, -1) - jnp.roll(g, 1, -1))
+    gy = 0.5 * (jnp.roll(g, -1, -2) - jnp.roll(g, 1, -2))
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    ang = jnp.arctan2(gy, gx) % jnp.pi                 # unsigned [0, pi)
+    b = jnp.clip((ang / jnp.pi * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    onehot = jax.nn.one_hot(b, n_bins) * mag[..., None]
+    cells = onehot.reshape(img.shape[:-2]
+                           + (hc // cell, cell, wc // cell, cell, n_bins))
+    hist = jnp.sum(cells, axis=(-2, -4))
+    d = hist.reshape(img.shape[:-2] + (-1,))
+    return d * jax.lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True)
+                             + 1e-12)
+
+
+def _warp_affine_patch(frame, model, out_h: int, out_w: int):
+    """Sample `frame` [H, W] at model([2,3] template->frame) applied to
+    the template pixel grid -> [out_h, out_w] warped patch."""
+    from cvt_tpu.features.descriptor import bilinear_sample
+    ys, xs = jnp.mgrid[0:out_h, 0:out_w]
+    xs = xs.astype(jnp.float32)
+    ys = ys.astype(jnp.float32)
+    fx = model[0, 0] * xs + model[0, 1] * ys + model[0, 2]
+    fy = model[1, 0] * xs + model[1, 1] * ys + model[1, 2]
+    return bilinear_sample(frame, fx, fy)
+
+
 @dataclass
 class TemplateMatch:
     """Per-frame result: hit flag, #verified inliers, affine model."""
     hits: np.ndarray        # [T] bool
     n_inliers: np.ndarray   # [T] int32
     models: np.ndarray      # [T, 2, 3] affine template->frame
+    hog_dist: np.ndarray | None = None   # [T] f32 (match_frames only)
 
 
 class TemplateMatcher:
     """Find a template object inside a batch of frames/images."""
 
-    def __init__(self, template_image, *, max_features: int = 256,
+    def __init__(self, template_image=None, *, features=None,
+                 template_shape=None, template_hog=None,
+                 max_features: int = 256,
                  ratio: float = 0.9, min_matches: int = 10,
+                 hog_threshold: float | None = None,
                  use_octave_check: bool = True,
                  use_ransac: bool = True, ransac_threshold: float = 10.0):
-        """template_image [H, W] gray in [0, 1]."""
-        t = jnp.asarray(template_image, jnp.float32)[None]
-        self.tmpl = extract_sift(t, max_features=max_features,
-                                 rootsift=True)
+        """template_image [H, W] gray in [0, 1]; or precomputed
+        `features` (SiftFeatures) + `template_shape` (+ optional
+        `template_hog`) from a saved model pack (make_model.cc analogue).
+
+        hog_threshold enables the reference's secondary HOG decision
+        (logo.cc:387-394): a frame also matches when the HOG distance
+        between the template and its affine-matched subwindow is <= the
+        threshold — and with BOTH thresholds active the reference
+        accepts on EITHER signal."""
+        if template_image is not None:
+            t = jnp.asarray(template_image, jnp.float32)[None]
+            self.tmpl = extract_sift(t, max_features=max_features,
+                                     rootsift=True)
+            self.template_shape = tuple(np.asarray(t).shape[1:])
+            self.template_hog = hog_descriptor(t[0])
+        else:
+            if features is None or template_shape is None:
+                raise ValueError("need template_image or features"
+                                 " + template_shape")
+            self.tmpl = features
+            self.template_shape = tuple(template_shape)
+            self.template_hog = template_hog
         self.ratio = ratio
         self.min_matches = min_matches
+        self.hog_threshold = hog_threshold
         self.use_octave_check = use_octave_check
         self.use_ransac = use_ransac
         self.ransac_threshold = ransac_threshold
@@ -108,10 +167,30 @@ class TemplateMatcher:
                              n_inliers=n_inl, models=np.asarray(models))
 
     def match_frames(self, frames, key=None) -> TemplateMatch:
-        """frames [T, H, W] gray in [0, 1] -> per-frame verification."""
-        feats = extract_sift(jnp.asarray(frames, jnp.float32),
-                             max_features=self.max_features, rootsift=True)
-        return self.match_features(feats, key=key)
+        """frames [T, H, W] gray in [0, 1] -> per-frame verification.
+
+        With hog_threshold set, also computes the HOG distance between
+        the template and each frame's affine-matched subwindow and
+        accepts frames on EITHER the SIFT-inlier or the HOG signal
+        (logo.cc:387-394 decision table; -1/None disables a signal)."""
+        frames = jnp.asarray(frames, jnp.float32)
+        feats = extract_sift(frames, max_features=self.max_features,
+                             rootsift=True)
+        res = self.match_features(feats, key=key)
+        if self.hog_threshold is None or self.template_hog is None:
+            return res
+        th, tw = self.template_shape
+
+        def one(frame, model):
+            patch = _warp_affine_patch(frame, model, th, tw)
+            hd = hog_descriptor(patch)
+            return jnp.linalg.norm(hd - self.template_hog)
+
+        hog_d = np.asarray(jax.vmap(one)(frames,
+                                         jnp.asarray(res.models)))
+        hits = res.hits | (hog_d <= self.hog_threshold)
+        return TemplateMatch(hits=hits, n_inliers=res.n_inliers,
+                             models=res.models, hog_dist=hog_d)
 
 
 class LogoDetector:
@@ -120,11 +199,70 @@ class LogoDetector:
     verifies with enough inliers (logo.cc decision rules :387-394,
     without the HOG secondary check)."""
 
-    def __init__(self, templates: dict, **matcher_kwargs):
-        """templates: {logo_name: [template_image, ...]}."""
-        self.matchers = {
+    def __init__(self, templates: dict | None = None, **matcher_kwargs):
+        """templates: {logo_name: [template_image, ...]}; or build from
+        a saved pack with LogoDetector.load()."""
+        self.matchers = {} if templates is None else {
             name: [TemplateMatcher(img, **matcher_kwargs) for img in imgs]
             for name, imgs in templates.items()}
+
+    # -- template model pack (the make_model.cc .dat analogue) ----------
+    def save(self, path: str) -> None:
+        """Pack every template's precomputed features + HOG + thresholds
+        into one npz — the TPU-native equivalent of logo_detection's
+        binary .dat model (make_model.cc:149-277 packs per-template
+        name, SIFT features, thresholds, and the template image; here
+        the image is replaced by its extracted features + HOG, which is
+        all detection needs)."""
+        arrays: dict = {}
+        names = []
+        for name, ms in self.matchers.items():
+            for m in ms:
+                i = len(names)
+                names.append(name)
+                t = m.tmpl
+                arrays[f"t{i}_frames"] = np.asarray(t.frames[0])
+                arrays[f"t{i}_desc"] = np.asarray(t.descriptors[0])
+                arrays[f"t{i}_resp"] = np.asarray(t.response[0])
+                arrays[f"t{i}_valid"] = np.asarray(t.valid[0])
+                arrays[f"t{i}_hog"] = (np.asarray(m.template_hog)
+                                       if m.template_hog is not None
+                                       else np.zeros(0, np.float32))
+                arrays[f"t{i}_shape"] = np.asarray(m.template_shape,
+                                                   np.int32)
+                arrays[f"t{i}_thr"] = np.asarray(
+                    [m.min_matches,
+                     -1.0 if m.hog_threshold is None else m.hog_threshold,
+                     m.ratio, m.ransac_threshold], np.float32)
+        arrays["names"] = np.asarray(names)
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str, **matcher_kwargs) -> "LogoDetector":
+        """Rebuild a detector from a pack written by save() — no
+        template images or re-extraction needed (the factory API of
+        logo.h:16-24 Logo/LogoFactory)."""
+        z = np.load(path, allow_pickle=False)
+        det = cls(None)
+        names = [str(s) for s in z["names"]]
+        for i, name in enumerate(names):
+            feats = SiftFeatures(
+                frames=jnp.asarray(z[f"t{i}_frames"])[None],
+                descriptors=jnp.asarray(z[f"t{i}_desc"])[None],
+                response=jnp.asarray(z[f"t{i}_resp"])[None],
+                valid=jnp.asarray(z[f"t{i}_valid"])[None])
+            thr = z[f"t{i}_thr"]
+            hog = z[f"t{i}_hog"]
+            kw = dict(min_matches=int(thr[0]),
+                      hog_threshold=None if thr[1] < 0 else float(thr[1]),
+                      ratio=float(thr[2]), ransac_threshold=float(thr[3]))
+            kw.update(matcher_kwargs)
+            m = TemplateMatcher(
+                features=feats, template_shape=tuple(z[f"t{i}_shape"]),
+                template_hog=(jnp.asarray(hog) if hog.size else None),
+                **kw)
+            det.matchers.setdefault(name, []).append(m)
+        return det
 
     def detect(self, images, key=None):
         """images [B, H, W] -> list of {logo_name: n_inliers} per image."""

@@ -19,10 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cvt_tpu.features.affine import estimate_affine_shape
 from cvt_tpu.features.descriptor import (
     assign_orientations, assign_orientations_multi, root_sift,
     sift_descriptors)
-from cvt_tpu.features.detect import detect_octave
+from cvt_tpu.features.detect import detect_octave, hessian_response
 from cvt_tpu.features.scale_space import build_pyramid
 
 
@@ -34,6 +35,7 @@ class SiftFeatures:
     descriptors: jax.Array
     response: jax.Array
     valid: jax.Array
+    affine: jax.Array | None = None   # [B, K, 2, 2] unit-det shape
 
     @property
     def n_valid(self):
@@ -41,11 +43,13 @@ class SiftFeatures:
 
 
 def extract_sift(images, *, max_features: int = 512,
-                 peak_threshold: float = 0.02 / 3,
+                 peak_threshold: float | None = None,
                  edge_threshold: float = 10.0,
                  first_octave: int = -1, n_scales: int = 3,
                  rootsift: bool = False,
                  n_orientations: int = 1,
+                 detector: str = "dog",
+                 affine_shape: bool = False,
                  dsp_num_scales: int = 1,
                  dsp_min_scale: float = 1.0 / 6.0,
                  dsp_max_scale: float = 3.0,
@@ -64,7 +68,20 @@ def extract_sift(images, *, max_features: int = 512,
     (sift.h:97-100): descriptors are averaged over dsp_num_scales
     domain sizes geometrically spaced in [dsp_min_scale, dsp_max_scale]
     x sigma, then re-normalized.
+
+    detector: "dog" (difference of Gaussians) or "hessian" — the
+    scale-normalized determinant-of-Hessian response, the reference
+    covdet DEFAULT (vl_covdet.hpp:73-88 METHOD_HESSIAN; its
+    peakThreshold default there is 5e-4, applied here when
+    peak_threshold is left unset).
+
+    affine_shape=True runs the second-moment affine adaptation
+    (vl_covdet_extract_affine_shape, :159-173) and samples orientations
+    + descriptors through each keypoint's elliptical shape; the
+    estimated unit-det A matrices land in SiftFeatures.affine.
     """
+    if peak_threshold is None:
+        peak_threshold = 5e-4 if detector == "hessian" else 0.02 / 3
     images = jnp.asarray(images, jnp.float32)
     if images.ndim == 2:
         images = images[None]
@@ -73,10 +90,11 @@ def extract_sift(images, *, max_features: int = 512,
     b = images.shape[0]
     per_oct = max_per_octave or max_features
 
-    def describe(octv, x_f, y_f, sigma_oct, lev_i, ang, valid):
+    def describe(octv, x_f, y_f, sigma_oct, lev_i, ang, valid, am):
         if dsp_num_scales <= 1:
             return sift_descriptors(octv.grad_dx, octv.grad_dy, x_f, y_f,
-                                    sigma_oct, lev_i, ang, valid)
+                                    sigma_oct, lev_i, ang, valid,
+                                    affine=am)
         # DSP: average the descriptor over pooled domain sizes
         ratios = np.geomspace(dsp_min_scale, dsp_max_scale,
                               dsp_num_scales).astype(np.float32)
@@ -84,7 +102,7 @@ def extract_sift(images, *, max_features: int = 512,
         for rt in ratios:
             acc = acc + sift_descriptors(
                 octv.grad_dx, octv.grad_dy, x_f, y_f,
-                sigma_oct * float(rt), lev_i, ang, valid)
+                sigma_oct * float(rt), lev_i, ang, valid, affine=am)
         d = acc / float(dsp_num_scales)
         d = d * jax.lax.rsqrt(
             jnp.sum(jnp.square(d), axis=-1, keepdims=True) + 1e-12)
@@ -92,33 +110,49 @@ def extract_sift(images, *, max_features: int = 512,
 
     parts = []
     for octv in pyr:
+        if detector == "hessian":
+            resp_stack = hessian_response(octv.gauss, n_scales=n_scales)
+        elif detector == "dog":
+            resp_stack = octv.dog
+        else:
+            raise ValueError(f"unknown detector {detector!r}")
         x_f, y_f, l_f, lev_i, resp, valid = detect_octave(
-            octv.dog, max_k=per_oct, peak_threshold=peak_threshold,
+            resp_stack, max_k=per_oct, peak_threshold=peak_threshold,
             edge_threshold=edge_threshold)
         # sigma in octave pixels from the refined level coordinate
         sigma_oct = 1.6 * (2.0 ** (l_f / float(n_scales)))
+        if affine_shape:
+            am = estimate_affine_shape(octv.grad_dx, octv.grad_dy, x_f,
+                                       y_f, sigma_oct, lev_i, valid)
+        else:
+            am = None
         if n_orientations > 1:
             # duplicate keypoints per orientation peak: [B, K, O] -> K*O
             angs, aok = assign_orientations_multi(
                 octv.grad_dx, octv.grad_dy, x_f, y_f, sigma_oct, lev_i,
-                valid, n_orientations=n_orientations)
+                valid, n_orientations=n_orientations, affine=am)
             o = n_orientations
             tile = lambda a: jnp.repeat(a, o, axis=1)
             x_f, y_f = tile(x_f), tile(y_f)
             sigma_oct, lev_i = tile(sigma_oct), tile(lev_i)
             resp = tile(resp)
+            if am is not None:
+                am = jnp.repeat(am, o, axis=1)
             ang = angs.reshape(b, -1)
             valid = aok.reshape(b, -1)
         else:
             ang = assign_orientations(octv.grad_dx, octv.grad_dy, x_f,
-                                      y_f, sigma_oct, lev_i, valid)
+                                      y_f, sigma_oct, lev_i, valid,
+                                      affine=am)
         # gradients live on the Gaussian levels; use the nearest level
-        desc = describe(octv, x_f, y_f, sigma_oct, lev_i, ang, valid)
+        desc = describe(octv, x_f, y_f, sigma_oct, lev_i, ang, valid, am)
         step = octv.step
+        eye2 = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32),
+                                x_f.shape + (2, 2))
         parts.append(dict(
             x=x_f * step, y=y_f * step, sigma=sigma_oct * step,
             angle=ang, resp=jnp.where(valid, resp, 0.0),
-            valid=valid, desc=desc))
+            valid=valid, desc=desc, aff=am if am is not None else eye2))
 
     cat = {k: jnp.concatenate([p[k] for p in parts], axis=1)
            for k in parts[0]}
@@ -130,7 +164,9 @@ def extract_sift(images, *, max_features: int = 512,
                         take(cat["sigma"]), take(cat["angle"])], axis=-1)
     desc = jnp.take_along_axis(cat["desc"], sel[..., None], axis=1)
     valid = take(cat["valid"]) & (take(cat["resp"]) != 0.0)
+    aff = jnp.take_along_axis(cat["aff"], sel[..., None, None], axis=1)
     if rootsift:
         desc = jnp.where(valid[..., None], root_sift(desc), 0.0)
     return SiftFeatures(frames=frames, descriptors=desc,
-                        response=take(cat["resp"]), valid=valid)
+                        response=take(cat["resp"]), valid=valid,
+                        affine=aff if affine_shape else None)

@@ -56,7 +56,7 @@ def _sample_level(stack: jax.Array, level: jax.Array, xs, ys):
 def assign_orientations_multi(dx, dy, x, y, sigma_oct, level, valid, *,
                               n_samples: int = 16,
                               n_orientations: int = 4,
-                              peak_ratio: float = 0.8):
+                              peak_ratio: float = 0.8, affine=None):
     """Up to n_orientations gradient-orientation peaks per keypoint.
 
     The reference DUPLICATES a feature once per orientation-histogram
@@ -73,13 +73,21 @@ def assign_orientations_multi(dx, dy, x, y, sigma_oct, level, valid, *,
     grid = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], 1))    # [P^2, 2]
     win_r = 3.0 * 1.5
 
-    def per_kp(dxs, dys, xi, yi, si, li):
-        xs = xi + si * win_r * grid[:, 0]
-        ys = yi + si * win_r * grid[:, 1]
+    if affine is None:
+        eye = jnp.eye(2, dtype=jnp.float32)
+        affine = jnp.broadcast_to(eye, x.shape + (2, 2))
+
+    def per_kp(dxs, dys, xi, yi, si, li, am):
+        u = si * win_r * grid[:, 0]
+        v = si * win_r * grid[:, 1]
+        xs = xi + am[0, 0] * u + am[0, 1] * v
+        ys = yi + am[1, 0] * u + am[1, 1] * v
         vx = _sample_level(dxs, li, xs, ys)
         vy = _sample_level(dys, li, xs, ys)
-        mag = jnp.sqrt(vx * vx + vy * vy)
-        ang = jnp.arctan2(vy, vx)
+        g1 = am[0, 0] * vx + am[1, 0] * vy    # normalized-frame gradients
+        g2 = am[0, 1] * vx + am[1, 1] * vy
+        mag = jnp.sqrt(g1 * g1 + g2 * g2)
+        ang = jnp.arctan2(g2, g1)
         r2 = (grid[:, 0] ** 2 + grid[:, 1] ** 2) * (win_r ** 2)
         wgt = jnp.exp(-r2 / (2.0 * (1.5 * win_r / 2) ** 2))
         binf = (ang + jnp.pi) / (2 * jnp.pi) * N_ORI_BINS
@@ -110,16 +118,16 @@ def assign_orientations_multi(dx, dy, x, y, sigma_oct, level, valid, *,
         ok = ok.at[0].set(hmax > 0)
         return angs, ok
 
-    f = jax.vmap(jax.vmap(per_kp, in_axes=(None, None, 0, 0, 0, 0)),
-                 in_axes=(0, 0, 0, 0, 0, 0))
-    angs, ok = f(dx, dy, x, y, sigma_oct, level)
+    f = jax.vmap(jax.vmap(per_kp, in_axes=(None, None, 0, 0, 0, 0, 0)),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0))
+    angs, ok = f(dx, dy, x, y, sigma_oct, level, affine)
     ok = ok & valid[..., None]
     return jnp.where(ok, angs, 0.0), ok
 
 
 @partial(jax.jit, static_argnames=("n_samples",))
 def assign_orientations(dx, dy, x, y, sigma_oct, level, valid, *,
-                        n_samples: int = 16):
+                        n_samples: int = 16, affine=None):
     """Dominant gradient orientation per keypoint.
 
     dx/dy [B, L, H, W] gradient fields (octave); x/y [B, K] octave
@@ -133,13 +141,21 @@ def assign_orientations(dx, dy, x, y, sigma_oct, level, valid, *,
     grid = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], 1))    # [P^2, 2]
     win_r = 3.0 * 1.5
 
-    def per_kp(dxs, dys, xi, yi, si, li):
-        xs = xi + si * win_r * grid[:, 0]
-        ys = yi + si * win_r * grid[:, 1]
+    if affine is None:
+        eye = jnp.eye(2, dtype=jnp.float32)
+        affine = jnp.broadcast_to(eye, x.shape + (2, 2))
+
+    def per_kp(dxs, dys, xi, yi, si, li, am):
+        u = si * win_r * grid[:, 0]
+        v = si * win_r * grid[:, 1]
+        xs = xi + am[0, 0] * u + am[0, 1] * v
+        ys = yi + am[1, 0] * u + am[1, 1] * v
         vx = _sample_level(dxs, li, xs, ys)
         vy = _sample_level(dys, li, xs, ys)
-        mag = jnp.sqrt(vx * vx + vy * vy)
-        ang = jnp.arctan2(vy, vx)                                # [-pi, pi]
+        g1 = am[0, 0] * vx + am[1, 0] * vy    # normalized-frame gradients
+        g2 = am[0, 1] * vx + am[1, 1] * vy
+        mag = jnp.sqrt(g1 * g1 + g2 * g2)
+        ang = jnp.arctan2(g2, g1)                                # [-pi, pi]
         r2 = (grid[:, 0] ** 2 + grid[:, 1] ** 2) * (win_r ** 2)
         wgt = jnp.exp(-r2 / (2.0 * (1.5 * win_r / 2) ** 2))
         binf = (ang + jnp.pi) / (2 * jnp.pi) * N_ORI_BINS
@@ -163,20 +179,26 @@ def assign_orientations(dx, dy, x, y, sigma_oct, level, valid, *,
         off = jnp.clip(off, -0.5, 0.5)
         return ((bmax + off + 0.5) / N_ORI_BINS) * 2 * jnp.pi - jnp.pi
 
-    f = jax.vmap(jax.vmap(per_kp, in_axes=(None, None, 0, 0, 0, 0)),
-                 in_axes=(0, 0, 0, 0, 0, 0))
-    ang = f(dx, dy, x, y, sigma_oct, level)
+    f = jax.vmap(jax.vmap(per_kp, in_axes=(None, None, 0, 0, 0, 0, 0)),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0))
+    ang = f(dx, dy, x, y, sigma_oct, level, affine)
     return jnp.where(valid, ang, 0.0)
 
 
 @partial(jax.jit, static_argnames=("n_samples", "magnif"))
 def sift_descriptors(dx, dy, x, y, sigma_oct, level, angle, valid, *,
-                     n_samples: int = 16, magnif: float = 3.0):
+                     n_samples: int = 16, magnif: float = 3.0,
+                     affine=None):
     """128-d SIFT descriptors for fixed-size keypoint sets.
 
     Sampling window spans the 4x4 spatial bins, each of width
-    magnif*sigma (Lowe/VLFeat convention). Returns [B, K, 128] float32,
-    L2-normalized with 0.2 clipping.
+    magnif*sigma (Lowe/VLFeat convention). `affine` [B, K, 2, 2]
+    (optional, unit-det) warps the sampling grid through the keypoint's
+    affine shape — the elliptical-patch sampling of
+    vl_covdet_extract_affine_shape-normalized features
+    (vl_covdet.hpp:159-173); gradients are pulled back through the same
+    transform (grad of the warped patch = (R A)^T grad image). Returns
+    [B, K, 128] float32, L2-normalized with 0.2 clipping.
     """
     p = n_samples
     half = N_SPATIAL / 2.0                 # bin units
@@ -187,19 +209,27 @@ def sift_descriptors(dx, dy, x, y, sigma_oct, level, angle, valid, *,
     # precompute spatial soft-assign weights to the 4x4 bins
     bin_centers = jnp.asarray(
         np.arange(N_SPATIAL, dtype=np.float32) - (N_SPATIAL - 1) / 2.0)
+    if affine is None:
+        eye = jnp.eye(2, dtype=jnp.float32)
+        affine = jnp.broadcast_to(eye, x.shape + (2, 2))
 
-    def per_kp(dxs, dys, xi, yi, si, li, ai):
+    def per_kp(dxs, dys, xi, yi, si, li, ai, am):
         ca, sa = jnp.cos(ai), jnp.sin(ai)
         bw = magnif * si                   # bin width in octave pixels
-        # rotate the bin-space grid into the image
+        # full patch->image map: R(angle) @ A, scaled by the bin width
+        rot = jnp.stack([jnp.stack([ca, -sa]), jnp.stack([sa, ca])])
+        full = rot @ am                                          # [2, 2]
         u = grid[:, 0] * bw
         v = grid[:, 1] * bw
-        xs = xi + ca * u - sa * v
-        ys = yi + sa * u + ca * v
+        xs = xi + full[0, 0] * u + full[0, 1] * v
+        ys = yi + full[1, 0] * u + full[1, 1] * v
         vx = _sample_level(dxs, li, xs, ys)
         vy = _sample_level(dys, li, xs, ys)
-        mag = jnp.sqrt(vx * vx + vy * vy)
-        ang = jnp.arctan2(vy, vx) - ai
+        # gradients in patch coordinates: g' = full^T g
+        g1 = full[0, 0] * vx + full[1, 0] * vy
+        g2 = full[0, 1] * vx + full[1, 1] * vy
+        mag = jnp.sqrt(g1 * g1 + g2 * g2)
+        ang = jnp.arctan2(g2, g1)
         # Gaussian window over the descriptor support
         r2 = grid[:, 0] ** 2 + grid[:, 1] ** 2
         wgt = jnp.exp(-r2 / (2.0 * (half ** 2)))
@@ -224,9 +254,9 @@ def sift_descriptors(dx, dy, x, y, sigma_oct, level, angle, valid, *,
         d = d * jax.lax.rsqrt(jnp.sum(d * d) + 1e-12)
         return d
 
-    f = jax.vmap(jax.vmap(per_kp, in_axes=(None, None, 0, 0, 0, 0, 0)),
-                 in_axes=(0, 0, 0, 0, 0, 0, 0))
-    desc = f(dx, dy, x, y, sigma_oct, level, angle)
+    f = jax.vmap(jax.vmap(per_kp, in_axes=(None, None, 0, 0, 0, 0, 0, 0)),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+    desc = f(dx, dy, x, y, sigma_oct, level, angle, affine)
     return jnp.where(valid[..., None], desc, 0.0)
 
 

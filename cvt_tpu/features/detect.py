@@ -19,6 +19,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class Keypoints(NamedTuple):
@@ -46,13 +47,37 @@ def _window_min(d: jax.Array) -> jax.Array:
         "SAME")
 
 
+@partial(jax.jit, static_argnames=("n_scales", "sigma0"))
+def hessian_response(gauss: jax.Array, n_scales: int = 3,
+                     sigma0: float = 1.6) -> jax.Array:
+    """Scale-normalized determinant-of-Hessian response stack.
+
+    The reference covdet's DEFAULT detector (vl_covdet.hpp:73-88,
+    VL_COVDET_METHOD_HESSIAN; VLFeat covdet.c _vl_det_hessian_response):
+    R = sigma^4 * (Lxx * Lyy - Lxy^2) per Gaussian level. gauss
+    [B, L, H, W] (octave levels); sigma in octave pixels per level.
+    """
+    g = gauss
+    lxx = jnp.roll(g, -1, 3) + jnp.roll(g, 1, 3) - 2 * g
+    lyy = jnp.roll(g, -1, 2) + jnp.roll(g, 1, 2) - 2 * g
+    lxy = 0.25 * (jnp.roll(jnp.roll(g, -1, 2), -1, 3)
+                  + jnp.roll(jnp.roll(g, 1, 2), 1, 3)
+                  - jnp.roll(jnp.roll(g, -1, 2), 1, 3)
+                  - jnp.roll(jnp.roll(g, 1, 2), -1, 3))
+    resp = lxx * lyy - lxy * lxy
+    lvl = np.arange(g.shape[1], dtype=np.float32)
+    sig = sigma0 * (2.0 ** (lvl / float(n_scales)))
+    return resp * jnp.asarray(sig ** 4)[None, :, None, None]
+
+
 @partial(jax.jit, static_argnames=("max_k", "peak_threshold",
                                    "edge_threshold", "border"))
 def detect_octave(dog: jax.Array, *, max_k: int,
                   peak_threshold: float = 0.02 / 3,
                   edge_threshold: float = 10.0,
                   border: int = 4):
-    """dog [B, L, H, W] -> per-octave keypoints in OCTAVE coordinates.
+    """Response stack [B, L, H, W] (DoG or Hessian) -> per-octave
+    keypoints in OCTAVE coordinates.
 
     Returns (x, y, level, response, valid, offsets) where x/y/level are
     subpixel-refined floats ([B, max_k]) and valid marks real detections.

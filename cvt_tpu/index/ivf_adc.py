@@ -272,19 +272,27 @@ class IVFADCIndex:
         if self.centroids is None:
             raise RuntimeError("train() first")
         from cvt_tpu.ops.kmeans import kmeans_assign
-        x = jnp.asarray(x, jnp.float32)
+        x = np.asarray(x, np.float32)
         n = x.shape[0]
-        assign, _ = kmeans_assign(x, self.centroids, chunk=262144)
-        residuals = x - self.centroids[assign]
-        codes = self.pq.encode(residuals)                        # [N, M] u8
-
-        # ||c_a + d(code)||^2 per point = ||reconstruction||^2
-        rec = self.pq.decode(codes) + self.centroids[assign]
-        dsq = jnp.sum(jnp.square(rec), axis=-1)                  # [N]
-
-        assign_np = np.asarray(assign)
-        codes_np = np.asarray(codes)
-        dsq_np = np.asarray(dsq)
+        # chunked assign + residual-encode + reconstruction norm: the
+        # one-hot PQ decode materializes [M, chunk, K], so the whole-N
+        # single dispatch OOMs at the reference operating point
+        # (m=16, k=256, N=1M -> 8 GB); 128k chunks keep it ~1 GB
+        step = 131_072
+        a_parts, c_parts, d_parts = [], [], []
+        for s in range(0, n, step):
+            xc = jnp.asarray(x[s:s + step])
+            a_c, _ = kmeans_assign(xc, self.centroids, chunk=step)
+            residuals = xc - self.centroids[a_c]
+            codes_c = self.pq.encode(residuals)
+            rec = self.pq.decode(codes_c) + self.centroids[a_c]
+            dsq_c = jnp.sum(jnp.square(rec), axis=-1)
+            a_parts.append(np.asarray(a_c))
+            c_parts.append(np.asarray(codes_c))
+            d_parts.append(np.asarray(dsq_c))
+        assign_np = np.concatenate(a_parts)
+        codes_np = np.concatenate(c_parts)
+        dsq_np = np.concatenate(d_parts)
         counts = np.bincount(assign_np, minlength=self.coarse_k)
         cap = self.bucket_cap
         if cap is None:

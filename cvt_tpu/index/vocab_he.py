@@ -152,7 +152,7 @@ class VocabHEIndex:
 
     def __init__(self, n_words: int = 4096, dim: int = 128,
                  bucket_cap: int | None = None,
-                 hierarchical: bool | None = None, probes: int = 4):
+                 hierarchical: bool | None = None, probes: int = 8):
         """hierarchical: two-level vocabulary (FLANN-tree replacement,
         visual_index.h:624-665); None = auto (on for n_words >= 16384,
         where the flat assignment matmul stops being practical). The
@@ -218,18 +218,30 @@ class VocabHEIndex:
         self.he_proj = jnp.concatenate(blocks, axis=1)[:, :HE_BITS]
         proj = np.asarray(jnp.matmul(
             x, self.he_proj, preferred_element_type=jnp.float32))  # [N, 64]
-        # per-word MEDIAN threshold (inverted_file.h:276-292); grouped
-        # median on host: lexsort by word, then slice per word
+        # per-word MEDIAN threshold (inverted_file.h:276-292), fully
+        # vectorized over words: one lexsort per projection column keyed
+        # by (word, value) makes every word's column values contiguous
+        # AND sorted, so the two middle elements index directly — O(D)
+        # sorts total instead of the round-2 O(n_words) host loop that
+        # could not reach the 65,536-word operating point
         asg = np.asarray(assignments)
-        order = np.argsort(asg, kind="stable")
-        proj_s, asg_s = proj[order], asg[order]
-        starts = np.searchsorted(asg_s, np.arange(self.n_words + 1))
-        thr = np.zeros((self.n_words, HE_BITS), np.float32)
-        global_med = np.median(proj, axis=0) if len(proj) else 0.0
-        for wid in range(self.n_words):
-            lo, hi = starts[wid], starts[wid + 1]
-            thr[wid] = (np.median(proj_s[lo:hi], axis=0) if hi > lo
-                        else global_med)
+        counts = np.bincount(asg, minlength=self.n_words)
+        starts = np.zeros(self.n_words + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        lo = starts[:-1]
+        i1 = lo + np.maximum(counts - 1, 0) // 2
+        i2 = lo + np.maximum(counts, 1) // 2
+        last = max(len(proj) - 1, 0)
+        i1 = np.minimum(i1, last)
+        i2 = np.minimum(i2, last)
+        thr = np.empty((self.n_words, HE_BITS), np.float32)
+        for c in range(HE_BITS):
+            order_c = np.lexsort((proj[:, c], asg))
+            col = proj[order_c, c]
+            thr[:, c] = 0.5 * (col[i1] + col[i2])
+        global_med = (np.median(proj, axis=0) if len(proj)
+                      else np.zeros(HE_BITS, np.float32))
+        thr[counts == 0] = global_med
         self.he_thresh = jnp.asarray(thr)
 
     # ------------------------------------------------------------------ add

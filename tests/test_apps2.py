@@ -125,3 +125,46 @@ def test_config_roundtrip(tmp_path):
     assert c2.pq.m == 16
     assert c2.sift.max_features == 1024
     assert c2.retrieval.max_dist == 0.1
+
+
+def test_logo_pack_save_load_and_hog(rng, tmp_path):
+    """The template model pack (make_model.cc .dat analogue): save a
+    LogoDetector's precomputed features + thresholds + HOG, reload
+    WITHOUT template images, and get identical detections; the HOG
+    secondary decision accepts an affine-matched frame whose SIFT count
+    falls short (logo.cc:387-394 rule 3: either signal accepts)."""
+    from cvt_tpu.apps.template_match import (LogoDetector, TemplateMatcher,
+                                             hog_descriptor)
+    tmpl = _textured(rng, 64, 64)
+    f0 = _textured(rng, 128, 128) * 0.2
+    f0[16:80, 40:104] = tmpl
+    f1 = _textured(np.random.default_rng(77), 128, 128)
+    frames = np.stack([f0, f1])
+
+    det = LogoDetector({"acme": [tmpl]}, min_matches=8,
+                       use_octave_check=False)
+    out_orig = det.detect(frames)
+    p = str(tmp_path / "logos.npz")
+    det.save(p)
+    det2 = LogoDetector.load(p)
+    out_loaded = det2.detect(frames)
+    assert out_orig == out_loaded
+    assert "acme" in out_orig[0] and "acme" not in out_orig[1]
+
+    # HOG secondary decision: set the SIFT bar impossibly high; a
+    # generous HOG threshold re-accepts the true frame via the warped
+    # subwindow's HOG distance, while the unrelated frame stays far
+    m_strict = TemplateMatcher(tmpl, min_matches=10_000,
+                               use_octave_check=False)
+    res_no_hog = m_strict.match_frames(frames)
+    assert not res_no_hog.hits.any()
+    m_hog = TemplateMatcher(tmpl, min_matches=10_000,
+                            use_octave_check=False, hog_threshold=0.8)
+    res = m_hog.match_frames(frames)
+    assert res.hog_dist is not None
+    assert res.hog_dist[0] < res.hog_dist[1], res.hog_dist
+    assert res.hits[0] and not res.hits[1], res.hog_dist
+
+    # hog_descriptor basics: unit norm, shift changes it smoothly
+    h = np.asarray(hog_descriptor(jnp.asarray(tmpl)))
+    np.testing.assert_allclose(np.linalg.norm(h), 1.0, atol=1e-4)

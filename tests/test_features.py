@@ -173,3 +173,92 @@ def test_dsp_sift_descriptors():
     d = np.asarray(f.descriptors)[0][valid]
     norms = np.linalg.norm(d, axis=1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_hessian_detector_blobs():
+    """The Hessian detector (reference covdet default, vl_covdet.hpp:73-88)
+    finds the same blob structures as DoG with comparable counts and
+    localization."""
+    img = _blob_image(blobs=((40, 40, 4.0), (90, 80, 6.0), (30, 100, 5.0)))
+    f_dog = extract_sift(img[None], max_features=32, first_octave=0)
+    f_hes = extract_sift(img[None], max_features=32, first_octave=0,
+                         detector="hessian")
+    n_dog = int(np.asarray(f_dog.n_valid)[0])
+    n_hes = int(np.asarray(f_hes.n_valid)[0])
+    assert n_hes > 0
+    # counts within a factor of 2 of each other on structured images
+    assert 0.5 * n_dog <= n_hes <= 2.0 * max(n_dog, 1), (n_dog, n_hes)
+    # the strongest Hessian keypoint localizes a blob center
+    fr = np.asarray(f_hes.frames[0])[np.asarray(f_hes.valid[0])]
+    centers = np.array([[40, 40], [80, 90], [100, 30]], np.float32)
+    d = np.sqrt(((fr[:, None, :2] - centers[None]) ** 2).sum(-1)).min(1)
+    assert d.min() < 3.0
+
+
+def test_affine_shape_recovers_anisotropy():
+    """An elliptical Gaussian blob with 2:1 axes must yield an affine
+    shape whose singular-value ratio ~2 (vl_covdet_extract_affine_shape
+    behavior)."""
+    h = w = 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    sx, sy = 10.0, 5.0
+    img = np.exp(-(((xx - 64) / sx) ** 2 + ((yy - 64) / sy) ** 2) / 2.0)
+    f = extract_sift(img[None].astype(np.float32), max_features=8,
+                     first_octave=0, affine_shape=True)
+    v = np.asarray(f.valid[0])
+    assert v.any()
+    fr = np.asarray(f.frames[0])[v]
+    re = np.abs(np.asarray(f.response[0])[v])
+    aff = np.asarray(f.affine[0])[v]
+    # pick the strongest central detection
+    cd = np.sqrt((fr[:, 0] - 64) ** 2 + (fr[:, 1] - 64) ** 2)
+    cand = np.where(cd < 6.0)[0]
+    assert len(cand) > 0
+    i = cand[re[cand].argmax()]
+    svals, vecs = np.linalg.svd(aff[i])[1], np.linalg.svd(aff[i])[0]
+    ratio = svals[0] / svals[1]
+    # expectation: the SMM sees the blob CONVOLVED with the detection
+    # level's isotropic blur (sigma_lvl ~ 3.2 octave px vs blob axes
+    # 5/2.5), so the equilibrium ratio is sqrt((sx^2+s^2)/(sy^2+s^2))
+    # ~ 1.46, not the unblurred 2.0 (same attenuation as VLFeat's
+    # scale-space patches)
+    assert 1.25 < ratio < 2.2, ratio
+    # elongation along x: the dominant singular vector is x-axis-aligned
+    assert abs(vecs[0, 0]) > 0.9, vecs
+    np.testing.assert_allclose(abs(np.linalg.det(aff[i])), 1.0, rtol=1e-3)
+
+
+def test_affine_descriptor_sampling_property():
+    """Exact property of the affine sampling path: the descriptor of
+    img1 at (c, sigma, A=I) equals the descriptor of the x-squeezed
+    image img2(x,y)=img1(2x,y) at (c_x/2, c_y, sigma, A=diag(0.5,1)) —
+    sample positions map to identical content and the A^T gradient
+    pull-back cancels the chain-rule factor. Without the affine
+    correction the descriptors differ."""
+    from cvt_tpu.features.scale_space import _blur, _gradients
+    from cvt_tpu.features.descriptor import sift_descriptors
+    rng = np.random.default_rng(7)
+    img1 = np.asarray(_blur(jnp.asarray(
+        rng.random((1, 128, 256)).astype(np.float32)), 3.0))
+    img2 = img1[:, :, ::2]                       # img2(x,y) = img1(2x,y)
+    dx1, dy1 = _gradients(jnp.asarray(img1)[:, None])
+    dx2, dy2 = _gradients(jnp.asarray(img2)[:, None])
+    x1 = jnp.asarray([[128.0]]); y1 = jnp.asarray([[64.0]])
+    x2 = jnp.asarray([[64.0]]); y2 = jnp.asarray([[64.0]])
+    sig = jnp.asarray([[6.0]])
+    lev = jnp.zeros((1, 1), jnp.int32)
+    ang = jnp.zeros((1, 1))
+    ok = jnp.ones((1, 1), bool)
+    eye = jnp.broadcast_to(jnp.eye(2), (1, 1, 2, 2))
+    sq = jnp.broadcast_to(jnp.asarray([[0.5, 0.0], [0.0, 1.0]]),
+                          (1, 1, 2, 2))
+    d1 = np.asarray(sift_descriptors(dx1, dy1, x1, y1, sig, lev, ang, ok,
+                                     affine=eye))[0, 0]
+    d2 = np.asarray(sift_descriptors(dx2, dy2, x2, y2, sig, lev, ang, ok,
+                                     affine=sq))[0, 0]
+    d2_plain = np.asarray(sift_descriptors(dx2, dy2, x2, y2, sig, lev,
+                                           ang, ok, affine=eye))[0, 0]
+    cos_aff = float(d1 @ d2)
+    cos_plain = float(d1 @ d2_plain)
+    assert cos_aff > 0.95, cos_aff
+    assert cos_aff > cos_plain + 0.05, (cos_aff, cos_plain)
