@@ -108,6 +108,24 @@ def _score_query(q_words, q_sigs, q_valid, buckets_img, buckets_sig,
                      .reshape(-1)].add(tw.reshape(-1))
 
 
+@jax.jit
+def _self_similarity(words, sigs, valid, idf):
+    """Direct per-image self-scores [B]: for every same-word entry pair
+    (i, j) within one image, w_he(hamming) * idf^2 * burst_j with
+    burst_j = 1/sqrt(#same-word entries) — exactly what _score_query
+    would credit the image querying itself."""
+
+    def one(w, s, v):
+        same = (w[:, None] == w[None, :]) & v[:, None] & v[None, :]
+        h = _hamming(s[:, None, :], s[None, :, :])
+        wt = _he_weight(h) * (idf[w] ** 2)[:, None]
+        votes = jnp.sum(same, axis=0).astype(jnp.float32)
+        burst_j = jax.lax.rsqrt(jnp.maximum(votes, 1.0))
+        return jnp.sum(jnp.where(same, wt * burst_j[None, :], 0.0))
+
+    return jax.vmap(one)(words, sigs, valid)
+
+
 @partial(jax.jit, static_argnames=("image_extent",))
 def _verify_candidates(q_words, q_sigs, q_valid, q_geom,
                        c_words, c_sigs, c_valid, c_geom, idf,
@@ -366,22 +384,22 @@ class VocabHEIndex:
         self._e_geom = jnp.asarray(e_geom)
         self._e_valid = jnp.asarray(e_valid)
 
-        # self-similarity in one vmapped pass (chunked over images)
-        score_v = jax.vmap(_score_query,
-                           in_axes=(0, 0, 0) + (None,) * 9,
-                           out_axes=0)
-        selfs = np.zeros(n, np.float32)
-        chunk = max(1, min(n, (1 << 22) // max(kmax * cap, 1)))
+        # self-similarity DIRECTLY from each image's own entries
+        # (inverted_index.h:238-288: the score an image attains querying
+        # itself). Equivalent to scoring against the full index but
+        # O(n * kmax^2) and independent of corpus/vocabulary size — the
+        # round-2 pass re-scored every image against ALL buckets + tail,
+        # collapsing to one image per dispatch at large kmax*cap.
+        selfs_parts = []
+        chunk = max(1, min(n, (1 << 24) // max(kmax * kmax, 1)))
+        sw = jnp.where(self._e_valid, self._e_words, 0)
         for lo in range(0, n, chunk):
             hi = min(n, lo + chunk)
-            qw = jnp.where(self._e_words[lo:hi] >= 0,
-                           self._e_words[lo:hi], 0)
-            sc = score_v(qw, self._e_sigs[lo:hi], self._e_valid[lo:hi],
-                         self._b_img, self._b_sig, self._b_burst,
-                         self._t_word, self._t_img, self._t_sig,
-                         self._t_burst, self._idf, n)
-            selfs[lo:hi] = np.asarray(sc)[np.arange(hi - lo),
-                                          np.arange(lo, hi)]
+            sc = _self_similarity(sw[lo:hi], self._e_sigs[lo:hi],
+                                  self._e_valid[lo:hi], self._idf)
+            selfs_parts.append(np.asarray(sc))
+        selfs = np.concatenate(selfs_parts) if selfs_parts else \
+            np.zeros(0, np.float32)
         self._self_norm = jnp.asarray(np.sqrt(np.maximum(selfs, 1e-12)))
         self._prepared = True
 
