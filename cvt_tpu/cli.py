@@ -15,6 +15,7 @@ Commands:
   search_adc         query a flat ADC index, report recall if GT given
   feature_extractor  extract SIFT features from .npy image stacks
   retrieve           image-level retrieval over extracted features
+  serve              sharded query server over a saved ADC index
   bench              run the north-star benchmark
 """
 
@@ -153,6 +154,51 @@ def _cmd_retrieve(args):
                           "scores": [float(s) for s in scores]}))
 
 
+def _cmd_serve(args):
+    """Load a FlatADCIndex pack and serve queries with the sharded
+    MultiHostADCServer + continuous QueryBatcher (BASELINE config 5's
+    front-end). Queries arrive as an fvecs file (batch mode) or line-
+    delimited JSON float arrays on stdin (--stdin streaming mode)."""
+    import jax
+    from cvt_tpu.index import FlatADCIndex
+    from cvt_tpu.io.vecs import read_fvecs
+    from cvt_tpu.parallel.serving import (MultiHostADCServer, QueryBatcher,
+                                          serving_mesh)
+    from cvt_tpu.quant.opq import OPQ
+    from cvt_tpu.quant.pq import ProductQuantizer
+
+    idx = FlatADCIndex.load(args.index)
+    quant = (OPQ(idx.rotation, idx.pq) if idx.rotation is not None
+             else idx.pq)
+    srv = MultiHostADCServer(quant, serving_mesh(), merge=args.merge)
+    idx._materialize()
+    srv.load(codes=np.asarray(idx._codes))
+    if args.stdin:
+        batcher = QueryBatcher(srv.serve, batch_size=args.batch,
+                               k=args.k, max_wait_ms=args.max_wait_ms)
+        try:
+            for line in sys.stdin:
+                line = line.strip()
+                if not line:
+                    continue
+                q = np.asarray(json.loads(line), np.float32).reshape(1, -1)
+                d, i = batcher.submit(q).result()
+                print(json.dumps({"ids": i[0].tolist(),
+                                  "dists": [round(float(x), 3)
+                                            for x in d[0]]}),
+                      flush=True)
+        finally:
+            batcher.close()
+        return
+    queries = read_fvecs(args.queries)
+    for s in range(0, len(queries), args.batch):
+        d, i = srv.serve(queries[s:s + args.batch], args.k)
+        for row_d, row_i in zip(np.asarray(d), np.asarray(i)):
+            print(json.dumps({"ids": row_i.tolist(),
+                              "dists": [round(float(x), 3)
+                                        for x in row_d]}))
+
+
 def _cmd_bench(args):
     import runpy
     sys.argv = ["bench.py"]
@@ -223,6 +269,17 @@ def main(argv=None):
     g.add_argument("--topk", type=int, default=10)
     g.add_argument("--rerank", default="svf")
     g.set_defaults(fn=_cmd_retrieve)
+
+    g = sub.add_parser("serve")
+    g.add_argument("--index", required=True)
+    g.add_argument("--queries", default=None)
+    g.add_argument("--stdin", action="store_true")
+    g.add_argument("--k", type=int, default=10)
+    g.add_argument("--batch", type=int, default=1024)
+    g.add_argument("--merge", default="allgather",
+                   choices=["allgather", "ring"])
+    g.add_argument("--max-wait-ms", type=float, default=5.0)
+    g.set_defaults(fn=_cmd_serve)
 
     g = sub.add_parser("bench")
     g.set_defaults(fn=_cmd_bench)

@@ -20,6 +20,10 @@ _LIBS: dict[str, ctypes.CDLL] = {}
 
 _CXXFLAGS = ["-O3", "-march=native", "-funroll-loops", "-std=c++17",
              "-fopenmp", "-shared", "-fPIC", "-Wall"]
+# per-library extra compile/link flags (system libs a component needs)
+_EXTRA_FLAGS = {
+    "ffdecode": ["-lavformat", "-lavcodec", "-lavutil", "-lswscale"],
+}
 
 
 class NativeBuildError(RuntimeError):
@@ -32,7 +36,8 @@ def _build(name: str) -> str:
     if (not os.path.exists(out)
             or os.path.getmtime(out) < os.path.getmtime(src)):
         cxx = os.environ.get("CXX", "g++")
-        cmd = [cxx, *_CXXFLAGS, "-o", out, src]
+        cmd = [cxx, *_CXXFLAGS, "-o", out, src,
+               *_EXTRA_FLAGS.get(name, [])]
         proc = subprocess.run(cmd, capture_output=True, text=True)
         if proc.returncode != 0:
             raise NativeBuildError(
