@@ -207,6 +207,30 @@ def main():
     dt = max(time.time() - t0 - overhead, 1e-9) / ITERS
     qps = BATCH / dt
 
+    # ---- decoded-cache mode (opt-in memory/speed trade) -----------------
+    from cvt_tpu.ops.pallas.adc_scan import adc_search_cached
+    idx.build_decoded_cache()
+
+    def one_cached(qb):
+        return adc_search_cached(qb, idx._dec8_t, idx._norm_col,
+                                 idx._srow_cache, K, n)
+
+    @jax.jit
+    def chained_cached(qs):
+        def body(c, qb):
+            d, i = one_cached(qb + c)
+            return c + d[0, 0] * jnp.float32(1e-20), (d[0, 0], i[0, 0])
+        c, outs = jax.lax.scan(body, jnp.float32(0.0), qs)
+        return c, outs
+
+    c2, _ = chained_cached(qr_stack)
+    float(c2)
+    t0 = time.time()
+    c2, _ = chained_cached(qr_stack)
+    float(c2)
+    dt_cached = max(time.time() - t0 - overhead, 1e-9) / ITERS
+    qps_cached = BATCH / dt_cached
+
     # ---- roofline --------------------------------------------------------
     npad = codes_t.shape[1]
     d_dim = 128
@@ -224,6 +248,9 @@ def main():
         "recall_at_1_ref_f32_adc": round(r1_ref, 4),
         "recall_at_10_ref_f32_adc": round(r10_ref, 4),
         "recall_parity_pt": round((r1_ref - r1) * 100, 2),
+        # decoded-cache mode: same recall (bit-identical int8 scoring),
+        # 16x code bytes (128 MB at 1M x 64-bit) for a decode-free scan
+        "qps_decoded_cache": round(qps_cached, 1),
         "codes_per_sec": round(codes_per_sec, 1),
         "ingest_codes_per_sec": round(ingest_per_sec, 1),
         "tflops_effective": round(tflops, 1),

@@ -270,6 +270,13 @@ class FlatADCIndex:
                 [dsq, jnp.zeros((npad - n,), jnp.float32)], axis=0)
         impl = self._resolve_impl()
         if impl == "pallas" and k <= 128:
+            if (not exact and getattr(self, "_dec8_n", None) == n):
+                from cvt_tpu.ops.pallas.adc_scan import adc_search_cached
+                interp = jax.default_backend() != "tpu"
+                return adc_search_cached(qr, self._dec8_t,
+                                         self._norm_col,
+                                         self._srow_cache, min(k, n), n,
+                                         interpret=interp)
             from cvt_tpu.ops.pallas.adc_scan import adc_search
             codes_t, cbt_q, srow, group = self._pallas_arrays()
             return adc_search(qr, q_sq, self._codes, self._dec_sq,
@@ -278,6 +285,43 @@ class FlatADCIndex:
                               group=group, exact=exact)
         return _adc_scan(qr, q_sq, codes, dsq, self.pq.codebooks,
                          min(k, n), chunk, n)
+
+    def build_decoded_cache(self) -> None:
+        """Materialize the int8-DECODED transposed database [D, Npad]
+        plus quantized-space row norms for the decode-free Pallas scan
+        (adc_search_cached). A memory/speed trade: 16x the code bytes
+        (int8 D per row vs M u8 codes) buys skipping the in-kernel
+        one-hot build + decode matmul every query batch. The codes stay
+        the index ground truth (recall is identical — the cache IS the
+        kernel's decode output, precomputed); rebuild after add()s.
+        """
+        self._materialize()
+        if self._codes is None:
+            raise RuntimeError("empty index")
+        cb = np.asarray(self.pq.codebooks, np.float32)
+        m, kk, ds = cb.shape
+        # identical int8 quantization to _group_codebooks (per-dim
+        # symmetric scales over the K codewords)
+        scales = np.abs(cb).max(axis=1) / 127.0
+        scales = np.maximum(scales, 1e-12)
+        cb_q = np.clip(np.rint(cb / scales[:, None, :]),
+                       -127, 127).astype(np.int8)
+        codes = np.asarray(self._codes)
+        n = codes.shape[0]
+        npad = -(-n // 16384) * 16384
+        dec = cb_q[np.arange(m)[None, :],
+                   codes.astype(np.int64)].reshape(n, m * ds)
+        srow = scales.reshape(m * ds).astype(np.float32)
+        norm = ((dec.astype(np.float32) * srow[None, :]) ** 2).sum(1)
+        if npad != n:
+            dec = np.concatenate(
+                [dec, np.zeros((npad - n, m * ds), np.int8)], axis=0)
+            norm = np.concatenate([norm, np.zeros(npad - n, np.float32)])
+        self._dec8_t = jax.device_put(
+            jnp.asarray(np.ascontiguousarray(dec.T)))
+        self._norm_col = jax.device_put(jnp.asarray(norm[:, None]))
+        self._srow_cache = jnp.asarray(srow)
+        self._dec8_n = n
 
     def _pallas_arrays(self):
         """Transposed int32 codes + grouped codebooks, laid out once for

@@ -295,23 +295,13 @@ def _fold_queries(q, srow):
     return q2s, qs
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "n_valid", "tile_n", "seg", "group",
-                              "interpret"))
-def _adc_search_fast(q, codes_t, cbt_q, srow, k, n_valid, tile_n, seg,
-                     group, interpret):
-    """One fused jit: query prep + packed kernel + tile-top2 selection.
+def _select_tiletop(segpack, tiletop, qs, q_sq, b, k, tile_n, seg):
+    """Shared selection tail: packed tile-top2 candidates -> (dist, ids).
 
-    The kernel already reduced each tile to its best two packed
-    (score, lane) keys, so selection is a top_k over [B, 2*n_tiles]
-    followed by integer unpacking — no big transposes, no arg gathers.
-    """
-    b = q.shape[0]
-    q_sq = jnp.sum(jnp.square(q), axis=-1)
-    q2s, qs = _fold_queries(q, srow)
-    s2 = (srow * srow)[:, None]
-    segpack, tiletop = _adc_segmin(q2s, qs, codes_t, cbt_q, s2, n_valid,
-                                   tile_n, seg, group, interpret)
+    Ranks via f32 keys (int32 top_k lowers to a generic sort ~10x
+    slower; the f32 cast is monotone — ties within one ulp are already
+    inside the key's rounding noise); ids come from the row-in-tile
+    sidecar, so nothing is ever unpacked from the big arrays."""
     n_tiles = tiletop.shape[0]
     spt = tile_n // seg
     if 2 * n_tiles < k or spt < 2:
@@ -329,15 +319,32 @@ def _adc_search_fast(q, codes_t, cbt_q, srow, k, n_valid, tile_n, seg,
     packs = jnp.concatenate([tiletop[:, 0, :], tiletop[:, 1, :]],
                             axis=0)                      # [2T, Bpad]
     rows = jnp.concatenate([tiletop[:, 2, :], tiletop[:, 3, :]], axis=0)
-    # rank via f32 keys: int32 top_k lowers to a generic sort ~10x
-    # slower; the f32 cast is monotone (ties within one ulp are already
-    # inside the key's rounding noise), and ids come from `rows`
     neg, j = jax.lax.top_k(-packs.astype(jnp.float32).T[:b], k)
     tile = jnp.where(j < n_tiles, j, j - n_tiles)
     rowint = jnp.take_along_axis(rows.T[:b], j, axis=-1)
     ids = tile * tile_n + rowint
     dist = (-neg / seg) * qs + q_sq[:, None]
     return dist, ids
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_valid", "tile_n", "seg", "group",
+                              "interpret"))
+def _adc_search_fast(q, codes_t, cbt_q, srow, k, n_valid, tile_n, seg,
+                     group, interpret):
+    """One fused jit: query prep + packed kernel + tile-top2 selection.
+
+    The kernel already reduced each tile to its best two packed
+    (score, lane) keys, so selection is a top_k over [B, 2*n_tiles]
+    followed by integer unpacking — no big transposes, no arg gathers.
+    """
+    b = q.shape[0]
+    q_sq = jnp.sum(jnp.square(q), axis=-1)
+    q2s, qs = _fold_queries(q, srow)
+    s2 = (srow * srow)[:, None]
+    segpack, tiletop = _adc_segmin(q2s, qs, codes_t, cbt_q, s2, n_valid,
+                                   tile_n, seg, group, interpret)
+    return _select_tiletop(segpack, tiletop, qs, q_sq, b, k, tile_n, seg)
 
 
 @functools.partial(
@@ -399,6 +406,128 @@ def adc_search(q, q_sq, codes, dec_sq, codebooks, k, n_valid, *,
     return _adc_search_exact(q, codes_t, cbt_q, srow, jnp.asarray(codes),
                              dec_sq, codebooks, k, n_valid, tile_n, seg,
                              group, slack, interpret)
+
+
+def _adc_segmin_cached_kernel(nv_ref, qs_ref, dec_ref, norm_ref, q2_ref,
+                              segpack_ref, tiletop_ref, *, tile_n, seg,
+                              b_sub):
+    """Phase-1 kernel over a PRE-DECODED int8 database tile: identical
+    packed scoring/top2 to _adc_segmin_kernel, minus the one-hot build
+    and decode matmul (the decoded [D, Npad] int8 cache is 16x the code
+    bytes — see FlatADCIndex.build_decoded_cache)."""
+    i = pl.program_id(0)
+    t = tile_n
+    spt = t // seg
+    b = q2_ref.shape[0]
+    vcap, ibase = _pack_caps(seg)
+    seg_bits = seg.bit_length() - 1
+    assert seg == 1 << seg_bits
+
+    dec = dec_ref[:, :]                                  # [D, T] int8
+    norm = norm_ref[:, :]                                # [T, 1] f32
+    base = i * t
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    qs = qs_ref[0]
+    norm_i = jnp.clip(jnp.round(norm / qs), 0.0,
+                      jnp.float32(vcap)).astype(jnp.int32)
+    norm_i = jnp.where(base + row < nv_ref[0], norm_i, jnp.int32(ibase))
+    base_col = norm_i * seg + jax.lax.rem(row, seg)      # [T, 1]
+
+    rows_spt = jax.lax.broadcasted_iota(jnp.int32, (spt, b_sub), 0)
+    for bs in range(b // b_sub):
+        ip = jax.lax.dot_general(
+            dec, q2_ref[bs * b_sub:(bs + 1) * b_sub, :],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.int32)            # [T, b_sub]
+        pk = jax.lax.shift_left(ip, seg_bits) + base_col
+        p3 = pk.reshape(spt, seg, b_sub)
+        pmins = jnp.min(p3, axis=1)
+        segpack_ref[:, bs * b_sub:(bs + 1) * b_sub] = pmins
+        m1 = jnp.min(pmins, axis=0)
+        sel1 = pmins == m1[None, :]
+        r1 = jnp.min(jnp.where(sel1, rows_spt, spt), axis=0)
+        masked = jnp.where(sel1, _IMAX, pmins)
+        m2 = jnp.min(masked, axis=0)
+        r2 = jnp.min(jnp.where(masked == m2[None, :], rows_spt, spt),
+                     axis=0)
+        lane1 = jax.lax.bitwise_and(m1, seg - 1)
+        lane2 = jax.lax.bitwise_and(m2, seg - 1)
+        sl = slice(bs * b_sub, (bs + 1) * b_sub)
+        tiletop_ref[0, 0, sl] = m1
+        tiletop_ref[0, 1, sl] = m2
+        tiletop_ref[0, 2, sl] = jax.lax.shift_left(r1, seg_bits) + lane1
+        tiletop_ref[0, 3, sl] = jax.lax.shift_left(r2, seg_bits) + lane2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_n", "seg", "interpret"))
+def _adc_segmin_cached(q2s, qs, dec8_t, norm_col, n_valid, tile_n, seg,
+                      interpret):
+    """Phase 1 over the decoded cache -> (segpack, tiletop) like
+    _adc_segmin. dec8_t [D, Npad] int8; norm_col [Npad, 1] f32."""
+    b, d = q2s.shape
+    npad = dec8_t.shape[1]
+    n_tiles = npad // tile_n
+    b_sub = 1024
+    while b % b_sub:
+        b_sub //= 2
+    kernel = functools.partial(_adc_segmin_cached_kernel, tile_n=tile_n,
+                               seg=seg, b_sub=b_sub)
+    out_rows = tile_n // seg
+    nv = jnp.full((1,), n_valid, jnp.int32)
+    qsa = jnp.full((1,), qs, jnp.float32)
+    segpack, tiletop = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((d, tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((out_rows, b), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((npad // seg, b), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 8, b), jnp.int32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npad * d * b,
+            bytes_accessed=npad * d + b * npad // seg * 4,
+            transcendentals=0,
+        ),
+    )(nv, qsa, dec8_t, norm_col, q2s)
+    return segpack, tiletop
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_valid", "tile_n", "seg",
+                              "interpret"))
+def adc_search_cached(q, dec8_t, norm_col, srow, k, n_valid,
+                      tile_n: int = 1024, seg: int = 128,
+                      interpret: bool = False):
+    """Fast search over the int8 decoded cache (decode-free scan).
+
+    Same result semantics as the default fast path (identical int8
+    scoring up to f32 round-off in the precomputed norms). q [B, D]
+    raw ROTATED space; dec8_t [D, Npad] int8; norm_col [Npad, 1] f32
+    quantized-space row norms; srow the per-dim dequant scales.
+    """
+    b = q.shape[0]
+    q_sq = jnp.sum(jnp.square(q), axis=-1)
+    q2s, qs = _fold_queries(q, srow)
+    segpack, tiletop = _adc_segmin_cached(q2s, qs, dec8_t, norm_col,
+                                          n_valid, tile_n, seg, interpret)
+    return _select_tiletop(segpack, tiletop, qs, q_sq, b, k, tile_n, seg)
 
 
 def _group_codebooks(codebooks) -> tuple[jax.Array, jax.Array, int]:

@@ -152,3 +152,23 @@ def test_fast_path_exact_for_top1(small_pq):
     _, i_ex = adc_search(q, q_sq, codes, dsq, pq.codebooks, 1, n,
                          exact=True)
     np.testing.assert_array_equal(np.asarray(i_fast), np.asarray(i_ex))
+
+
+def test_decoded_cache_parity(small_pq):
+    """The decode-free cached scan (build_decoded_cache +
+    adc_search_cached) must reproduce the default fast path exactly:
+    the cache IS the kernel's int8 decode output, precomputed."""
+    pq, base, queries = small_pq
+    idx = FlatADCIndex(pq, impl="pallas")
+    idx.add(base)
+    d0, i0 = idx.search(queries[:16], 10)
+    idx.build_decoded_cache()
+    assert idx._dec8_n == idx.ntotal
+    d1, i1 = idx.search(queries[:16], 10)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    # compare only REAL candidates: with a 4k-row database the top-10
+    # slots beyond the per-segment candidates carry invalid sentinels
+    # whose packed values legitimately differ between the two paths
+    d0n, d1n = np.asarray(d0), np.asarray(d1)
+    real = d0n < 1e7
+    np.testing.assert_allclose(d0n[real], d1n[real], rtol=1e-5, atol=0.5)
