@@ -1,0 +1,96 @@
+"""Serving-path benchmark on the real chip (VERDICT r3 item 3).
+
+Measures the SERVING TAX: MultiHostADCServer.serve() on a 1-device TPU
+mesh over 1M codes vs the raw fused kernel QPS (bench.py methodology:
+device-chained timing), plus the dispatch-path (host-loop) serve rate
+and the pipelined ring variant. Writes BENCH_SERVE.md.
+
+The 8-way sharded EXACT-parity check lives in __graft_entry__.py
+(dryrun config-5, CPU mesh) and MULTICHIP_r04.json.
+"""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvt_tpu.io.datasets import synthetic_sift
+from cvt_tpu.parallel.serving import MultiHostADCServer, serving_mesh
+from cvt_tpu.quant.opq import OPQ
+from cvt_tpu.utils.profile import chained_time
+
+N, B, K = 1_000_000, 8192, 10
+
+print("devices:", jax.devices())
+base, queries = synthetic_sift(N, 128, n_queries=B, seed=0)
+opq = OPQ.train(jax.random.key(0), base[:262144], m=8, k=256, opq_iters=6)
+
+srv = MultiHostADCServer(opq, serving_mesh())
+t0 = time.time()
+codes = srv.encode(base)
+t_enc = time.time() - t0
+srv.load(codes=codes)
+print(f"encoded+loaded {N:,} codes in {t_enc:.1f}s")
+
+# ---- serve-path QPS (host dispatch loop, includes tunnel overhead) ----
+d, i = srv.serve(queries, K)                      # compile
+jax.block_until_ready((d, i))
+t0 = time.time()
+reps = 5
+for _ in range(reps):
+    d, i = srv.serve(queries, K)
+jax.block_until_ready((d, i))
+t_serve = (time.time() - t0) / reps
+qps_serve = B / t_serve
+
+# ---- raw kernel QPS under the same batch (device-chained) -------------
+from cvt_tpu.index.flat_adc import FlatADCIndex
+idx = FlatADCIndex(opq)
+idx.add(codes=codes)
+d2, i2 = idx.search(queries, K)                   # compile
+jax.block_until_ready((d2, i2))
+
+
+def _one(qb):
+    dd, ii = idx.search(qb, K)
+    return jnp.sum(dd[:, 0])
+
+
+t_kernel = chained_time(_one, jnp.asarray(queries), iters=5)
+qps_kernel = B / t_kernel
+
+# parity serve vs direct
+agree = (np.asarray(i)[:, 0] == np.asarray(i2)[:, 0]).mean()
+
+# ---- pipelined ring serving (1 device: ring is a no-op merge) ---------
+srv_r = MultiHostADCServer(opq, serving_mesh(), merge="ring")
+srv_r.load(codes=codes)
+qmb = queries.reshape(8, B // 8, -1)
+dp, ip = srv_r.serve_pipelined(qmb, K)            # compile
+jax.block_until_ready((dp, ip))
+t0 = time.time()
+dp, ip = srv_r.serve_pipelined(qmb, K)
+jax.block_until_ready((dp, ip))
+t_pipe = time.time() - t0
+qps_pipe = B / t_pipe
+
+report = f"""# BENCH_SERVE — serving tax on the real chip (round 4)
+
+1M x 64-bit OPQ codes, batch {B}, top-{K}, one TPU v5e chip.
+
+| path | time / batch | QPS | notes |
+|---|---|---|---|
+| raw fused kernel (device-chained) | {t_kernel * 1e3:.1f} ms | {qps_kernel:,.0f} | bench.py methodology |
+| MultiHostADCServer.serve() | {t_serve * 1e3:.1f} ms | {qps_serve:,.0f} | host dispatch + shard_map + rotate + device_put |
+| serve_pipelined (ring, 8 micro-batches) | {t_pipe * 1e3:.1f} ms | {qps_pipe:,.0f} | double-buffered scan/merge |
+
+Serving tax: serve() delivers {qps_serve / qps_kernel * 100:.0f}% of raw
+kernel QPS (the gap is per-dispatch launch overhead over the axon tunnel
+~25 ms + query rotation + device_put of the batch; amortizable with
+larger batches or the pipelined path).
+top-1 parity serve vs direct kernel: {agree * 100:.1f}%.
+
+Exact 8-way sharded parity is asserted in __graft_entry__.py
+dryrun config-5 (CPU mesh, 2048 rows/shard, exact top-k set equality).
+"""
+open("BENCH_SERVE.md", "w").write(report)
+print(report)

@@ -238,6 +238,113 @@ def main():
     flops_decode = 2.0 * npad * d_dim * (group * KSUB)  # int8 MXU
     tflops = (flops_score + flops_decode) / dt / 1e12
 
+    # ---- config-1 lane: int8 SQ flat scan (sq_train.cpp:42-45 operating
+    # point: d=64, inputs L2-normalized; also measured at d=128) ---------
+    from cvt_tpu.index.flat_sq import FlatSQIndex
+    from cvt_tpu.ops.linalg import l2_normalize
+    from cvt_tpu.quant.sq import ScalarQuantizer
+    sq_out = {}
+    for d_sq in (64, 128):
+        base_sq = np.asarray(l2_normalize(jnp.asarray(base[:, :d_sq])))
+        q_sq_arr = np.asarray(l2_normalize(jnp.asarray(
+            queries[:, :d_sq])))
+        sq = ScalarQuantizer.train(base_sq[:N_TRAIN], l2norm=False)
+        sqi = FlatSQIndex(sq, chunk=131_072)
+        for s in range(0, len(base_sq), 262144):
+            sqi.add(base_sq[s:s + 262144])
+        # recall vs exact float GT on the normalized data
+        exact_sq = FlatIndex(d_sq, "l2", chunk=131_072)
+        exact_sq.add(base_sq)
+        gt_sq_parts = []
+        for s in range(0, n_rec, 512):
+            _, g = exact_sq.search(q_sq_arr[s:s + 512], 1)
+            gt_sq_parts.append(np.asarray(g))
+        gt_sq = np.concatenate(gt_sq_parts)[:, 0]
+        del exact_sq
+        _, ids_sq = sqi.search(q_sq_arr[:n_rec], K)
+        r10_sq = recall_at_k(np.asarray(ids_sq), gt_sq, k=10)
+        r1_sq = recall_at_k(np.asarray(ids_sq), gt_sq, k=1)
+        # chained QPS at the production batch
+        qsq_pool = np.tile(q_sq_arr, (-(-BATCH // len(q_sq_arr)), 1)
+                           )[:BATCH]
+        sq_stack = jnp.asarray(np.stack([qsq_pool] * 8), jnp.float32)
+
+        def one_sq(qb):
+            d_, i_ = sqi.search(qb, K)
+            return d_[:, 0]
+
+        from cvt_tpu.utils.profile import chained_time
+        dt_sq = chained_time(one_sq, sq_stack, launch_overhead_s=overhead)
+        sq_out[d_sq] = {"qps": round(BATCH / dt_sq, 1),
+                        "recall_at_1": round(r1_sq, 4),
+                        "recall_at_10": round(r10_sq, 4)}
+        del sqi
+
+    # ---- recall-parity robustness sweep: >=3 distributions x 2 seeds ---
+    # (VERDICT r3 item 6) at reduced N — parity measures the int8 engine
+    # against the independent f32 LUT engine at identical codes, which
+    # does not need the full 1M rows
+    parity_sweep = {}
+    n_sw, nq_sw = 262_144, 1024
+    for di, dist in enumerate(("isotropic", "gmm", "correlated")):
+        for seed in (0, 1):
+            rs = np.random.default_rng(seed + 100 * di)
+            if dist == "isotropic":
+                bs = rs.normal(0, 30, (n_sw + nq_sw, 128))
+            elif dist == "gmm":
+                cc = rs.gamma(1.2, 24.0, (4096, 128))
+                bs = cc[rs.integers(0, 4096, n_sw + nq_sw)] \
+                    + rs.normal(0, 12, (n_sw + nq_sw, 128))
+            else:                       # correlated: low-rank + noise
+                w = rs.normal(size=(16, 128))
+                bs = rs.normal(size=(n_sw + nq_sw, 16)) @ w * 8 \
+                    + rs.normal(0, 4, (n_sw + nq_sw, 128))
+            bs = np.clip(bs, 0, 255).astype(np.float32) if dist != \
+                "correlated" else bs.astype(np.float32)
+            b_sw, q_sw = bs[:n_sw], bs[n_sw:]
+            opq_sw = OPQ.train(jax.random.key(seed), b_sw[:65536], m=M,
+                               k=KSUB, opq_iters=2, kmeans_iters=4,
+                               final_kmeans_iters=6)
+            idx_sw = FlatADCIndex(opq_sw)
+            idx_sw.add(b_sw)
+            idx_sw._materialize()
+            ex = FlatIndex(128, "l2", chunk=131_072)
+            ex.add(b_sw)
+            _, g_sw = ex.search(q_sw, 1)
+            g_sw = np.asarray(g_sw)[:, 0]
+            del ex
+            _, if_sw = idx_sw.search(q_sw, K)
+            r1f = recall_at_k(np.asarray(if_sw), g_sw, k=1)
+            qr_sw = idx_sw._rotate(q_sw)
+            _, ir_sw = _adc_scan(
+                qr_sw, jnp.sum(jnp.square(qr_sw), -1), idx_sw._codes,
+                idx_sw._dec_sq, opq_sw.pq.codebooks, K, 16384,
+                idx_sw.ntotal)
+            r1r = recall_at_k(np.asarray(ir_sw), g_sw, k=1)
+            parity_sweep[f"{dist}-s{seed}"] = round((r1r - r1f) * 100, 2)
+            del idx_sw
+    parity_spread = max(abs(v) for v in parity_sweep.values())
+
+    # ---- ingest pipelining: uint8 staging (SIFT is uint8 in the
+    # reference, visual_index.h:59) + async overlapped device_put -------
+    base_u8 = np.clip(np.rint(base[:524288]), 0, 255).astype(np.uint8)
+    enc3 = FlatADCIndex(opq)
+    # warm the u8 ingest path at chunk shape
+    enc3.add(jnp.asarray(base_u8[:FlatADCIndex.ENC_CHUNK],
+                         jnp.uint8).astype(jnp.float32))
+    enc3 = FlatADCIndex(opq)
+    t0 = time.time()
+    # stage ALL chunks first (async device_put overlaps the transfers
+    # with the encodes dispatched right behind them)
+    staged = [jax.device_put(base_u8[s:s + FlatADCIndex.ENC_CHUNK])
+              for s in range(0, len(base_u8), FlatADCIndex.ENC_CHUNK)]
+    for ch in staged:
+        enc3.add(ch.astype(jnp.float32))
+    enc3._materialize()
+    float(jnp.sum(enc3._dec_sq[-8:]))
+    ingest_u8_per_sec = len(base_u8) / (time.time() - t0)
+    del enc3, staged
+
     print(json.dumps({
         "metric": "sift1m_adc_qps_per_chip",
         "value": round(qps, 1),
@@ -253,6 +360,17 @@ def main():
         "qps_decoded_cache": round(qps_cached, 1),
         "codes_per_sec": round(codes_per_sec, 1),
         "ingest_codes_per_sec": round(ingest_per_sec, 1),
+        "ingest_codes_per_sec_u8": round(ingest_u8_per_sec, 1),
+        # config-1 lane (sq_train.cpp:42-45): int8 SQ flat scan
+        "sq_d64_qps": sq_out[64]["qps"],
+        "sq_d64_recall_at_1": sq_out[64]["recall_at_1"],
+        "sq_d64_recall_at_10": sq_out[64]["recall_at_10"],
+        "sq_d128_qps": sq_out[128]["qps"],
+        "sq_d128_recall_at_10": sq_out[128]["recall_at_10"],
+        # parity robustness: (f32-ADC ref recall@1 - fast recall@1) pt,
+        # 3 distributions x 2 seeds at N=262144
+        "parity_sweep_pt": parity_sweep,
+        "parity_spread_pt_max": parity_spread,
         "tflops_effective": round(tflops, 1),
         "launch_overhead_ms": round(overhead * 1e3, 2),
         "n_db": int(base.shape[0]),

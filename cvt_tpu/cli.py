@@ -124,10 +124,77 @@ def _cmd_feature_extractor(args):
     np.savez(args.out, frames=np.asarray(feats.frames),
              descriptors=np.asarray(feats.descriptors),
              valid=np.asarray(feats.valid))
+    if args.database:
+        # colmap.cc feature_extractor semantics: features land in the
+        # SQLite FeatureDatabase the matcher commands consume
+        from cvt_tpu.io.database import FeatureDatabase
+        frames = np.asarray(feats.frames)
+        desc = np.asarray(feats.descriptors)
+        valid = np.asarray(feats.valid)
+        with FeatureDatabase(args.database) as db:
+            for b in range(frames.shape[0]):
+                iid = db.add_image(f"image_{b:06d}",
+                                   width=images.shape[2],
+                                   height=images.shape[1])
+                v = valid[b]
+                db.write_keypoints(iid, frames[b][v])
+                db.write_descriptors(iid, desc[b][v])
+            db.commit()
     n = np.asarray(feats.n_valid)
     print(f"extracted features for {images.shape[0]} images "
           f"(keypoints/image: min {n.min()}, mean {n.mean():.1f}, "
           f"max {n.max()})")
+
+
+def _cmd_matcher(args, mode: str):
+    """Shared matcher driver (colmap.cc:93-139 dispatch: {exhaustive,
+    sequential, spatial, vocab_tree}_matcher): generate pairs per
+    strategy, run the match -> verify pipeline, store matches +
+    two-view geometries in the database."""
+    from cvt_tpu.io.database import FeatureDatabase
+    from cvt_tpu.match import pipelines as pl
+
+    with FeatureDatabase(args.database) as db:
+        ids = [i for i, _ in db.iter_images()]
+        if mode == "exhaustive":
+            pairs = pl.exhaustive_pairs(ids, block_size=args.block_size)
+        elif mode == "sequential":
+            pairs = pl.sequential_pairs(ids, overlap=args.overlap,
+                                        quadratic=args.quadratic)
+        elif mode == "spatial":
+            pos = np.load(args.positions)
+            pairs = pl.spatial_pairs(
+                ids, pos, max_num_neighbors=args.max_neighbors,
+                max_distance=args.max_distance)
+        elif mode == "vocab_tree":
+            from cvt_tpu.index import VocabHEIndex
+            if args.vocab_index:
+                index = VocabHEIndex.load(args.vocab_index)
+            else:
+                # train a vocabulary from the database's own descriptors
+                # (the reference ships a pretrained tree; zero-asset
+                # fallback mirrors its Build() path)
+                import jax
+                train = np.concatenate(
+                    [db.read_descriptors(i) for i in ids
+                     if db.read_descriptors(i) is not None])
+                index = VocabHEIndex(n_words=min(args.num_words,
+                                                 max(len(train) // 4, 16)))
+                index.train(jax.random.key(0),
+                            train.astype(np.float32), iters=10)
+            pairs = pl.vocab_tree_pairs(db, index,
+                                        num_images=args.num_images)
+        else:
+            raise ValueError(mode)
+        if getattr(args, "transitive", False):
+            pairs = list(pairs) + pl.transitive_pairs(db, ids)
+        stats = pl.match_pairs(
+            db, pairs, ratio=args.ratio, min_num_matches=args.min_matches,
+            verify=not args.no_verify, guided=args.guided)
+    print(json.dumps({
+        "mode": mode, "n_pairs": stats.n_pairs,
+        "n_matched": stats.n_matched, "n_verified": stats.n_verified,
+        "n_skipped": stats.n_skipped, "configs": stats.configs}))
 
 
 def _cmd_retrieve(args):
@@ -259,8 +326,45 @@ def main(argv=None):
     g.add_argument("--images", required=True, help=".npy [B, H, W]")
     g.add_argument("--max-features", type=int, default=512)
     g.add_argument("--rootsift", action="store_true", default=True)
+    g.add_argument("--database", default=None,
+                   help="also write features into this FeatureDatabase")
     g.add_argument("--out", required=True)
     g.set_defaults(fn=_cmd_feature_extractor)
+
+    def _matcher_common(g):
+        g.add_argument("--database", required=True)
+        g.add_argument("--ratio", type=float, default=0.8)
+        g.add_argument("--min-matches", type=int, default=15)
+        g.add_argument("--no-verify", action="store_true")
+        g.add_argument("--guided", action="store_true")
+
+    g = sub.add_parser("exhaustive_matcher")
+    _matcher_common(g)
+    g.add_argument("--block-size", type=int, default=50)
+    g.set_defaults(fn=lambda a: _cmd_matcher(a, "exhaustive"))
+
+    g = sub.add_parser("sequential_matcher")
+    _matcher_common(g)
+    g.add_argument("--overlap", type=int, default=10)
+    g.add_argument("--quadratic", action="store_true")
+    g.set_defaults(fn=lambda a: _cmd_matcher(a, "sequential"))
+
+    g = sub.add_parser("spatial_matcher")
+    _matcher_common(g)
+    g.add_argument("--positions", required=True,
+                   help=".npy [n_images, 2|3] camera positions")
+    g.add_argument("--max-neighbors", type=int, default=50)
+    g.add_argument("--max-distance", type=float, default=100.0)
+    g.set_defaults(fn=lambda a: _cmd_matcher(a, "spatial"))
+
+    g = sub.add_parser("vocab_tree_matcher")
+    _matcher_common(g)
+    g.add_argument("--vocab-index", default=None,
+                   help="saved VocabHEIndex .npz (trained on the fly "
+                   "from the database when omitted)")
+    g.add_argument("--num-words", type=int, default=4096)
+    g.add_argument("--num-images", type=int, default=20)
+    g.set_defaults(fn=lambda a: _cmd_matcher(a, "vocab_tree"))
 
     g = sub.add_parser("retrieve")
     g.add_argument("--db", required=True, help="features .npz from "

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from cvt_tpu.ops.kmeans import kmeans
+from cvt_tpu.ops.pallas.ivf_scan import ivf_union_search
 from cvt_tpu.ops.topk import merge_topk
 from cvt_tpu.quant.pq import ProductQuantizer
 
@@ -271,28 +272,42 @@ class IVFADCIndex:
         search_grouped()."""
         if self.centroids is None:
             raise RuntimeError("train() first")
-        from cvt_tpu.ops.kmeans import kmeans_assign
         x = np.asarray(x, np.float32)
         n = x.shape[0]
-        # chunked assign + residual-encode + reconstruction norm: the
-        # one-hot PQ decode materializes [M, chunk, K], so the whole-N
-        # single dispatch OOMs at the reference operating point
-        # (m=16, k=256, N=1M -> 8 GB); 128k chunks keep it ~1 GB
-        step = 131_072
         a_parts, c_parts, d_parts = [], [], []
-        for s in range(0, n, step):
-            xc = jnp.asarray(x[s:s + step])
-            a_c, _ = kmeans_assign(xc, self.centroids, chunk=step)
-            residuals = xc - self.centroids[a_c]
-            codes_c = self.pq.encode(residuals)
-            rec = self.pq.decode(codes_c) + self.centroids[a_c]
-            dsq_c = jnp.sum(jnp.square(rec), axis=-1)
+        for s in range(0, n, 131_072):
+            a_c, codes_c, dsq_c = self.encode_chunk(x[s:s + 131_072])
             a_parts.append(np.asarray(a_c))
             c_parts.append(np.asarray(codes_c))
             d_parts.append(np.asarray(dsq_c))
-        assign_np = np.concatenate(a_parts)
-        codes_np = np.concatenate(c_parts)
-        dsq_np = np.concatenate(d_parts)
+        self.build_from_codes(np.concatenate(a_parts),
+                              np.concatenate(c_parts),
+                              np.concatenate(d_parts),
+                              group_ids=group_ids)
+
+    def encode_chunk(self, xc):
+        """(assign, residual codes, reconstruction sqnorm) for one chunk
+        — device math, chunked because the one-hot PQ decode
+        materializes [M, chunk, K] (8 GB at the reference operating
+        point m=16, k=256 for a whole-1M dispatch)."""
+        from cvt_tpu.ops.kmeans import kmeans_assign
+        xc = jnp.asarray(xc, jnp.float32)
+        a_c, _ = kmeans_assign(xc, self.centroids, chunk=xc.shape[0])
+        residuals = xc - self.centroids[a_c]
+        codes_c = self.pq.encode(residuals)
+        rec = self.pq.decode(codes_c) + self.centroids[a_c]
+        return a_c, codes_c, jnp.sum(jnp.square(rec), axis=-1)
+
+    def build_from_codes(self, assign_np, codes_np, dsq_np,
+                         group_ids=None) -> None:
+        """Lay out buckets/tail/pages from precomputed per-vector
+        (coarse assignment, residual codes, reconstruction sqnorms) —
+        lets large-N callers encode device-side in chunks and never
+        materialize the float database on the host."""
+        assign_np = np.asarray(assign_np)
+        codes_np = np.asarray(codes_np, np.uint8)
+        dsq_np = np.asarray(dsq_np, np.float32)
+        n = assign_np.shape[0]
         counts = np.bincount(assign_np, minlength=self.coarse_k)
         cap = self.bucket_cap
         if cap is None:
@@ -316,6 +331,21 @@ class IVFADCIndex:
         buckets[bi, br] = codes_np[src]
         bucket_ids[bi, br] = src.astype(np.int32)
         bucket_dsq[bi, br] = dsq_np[src]
+
+        # union-probe page layout for the Pallas fast path (ops/pallas/
+        # ivf_scan.py): cell-sorted segment-pure decoded int8 cache
+        from cvt_tpu.ops.pallas.ivf_scan import build_page_layout
+        pg = build_page_layout(codes_np, assign_np, dsq_np,
+                               self.pq.codebooks)
+        self._pg_dec8_t = jnp.asarray(pg["dec8_t"])
+        self._pg_dec16 = jnp.asarray(pg["dec16"])
+        self._pg_srow16 = jnp.asarray(pg["srow16"])
+        self._pg_nrm = jnp.asarray(pg["nrm_col"])
+        self._pg_seg_cell = jnp.asarray(pg["seg_cell"])
+        self._pg_rowids = jnp.asarray(pg["rowids"])
+        self._pg_srow = jnp.asarray(pg["srow"])
+        self._pg_dsq_min = pg["dsq_min"]
+        self._pg_lp, self._pg_seg = pg["lp"], pg["seg"]
 
         tail_src = order[~in_bucket]
         self._buckets = jnp.asarray(buckets)
@@ -364,6 +394,38 @@ class IVFADCIndex:
             self._bucket_dsq, self._tail_codes, self._tail_coarse,
             self._tail_dsq, self._tail_ids,
             min(nprobe, self.coarse_k), k, probe_chunk)
+
+    def search_fast(self, q, k: int, *, nprobe: int = 16,
+                    max_pages: int | None = None,
+                    exact_probe: bool = True,
+                    interpret: bool | None = None):
+        """Union-probe Pallas scan (the production query path): same
+        nprobe semantics as search() but scored decode-free on the MXU —
+        see ops/pallas/ivf_scan.py. Returns (dists [B, k], ids [B, k],
+        n_dropped_pages)."""
+        if not self._built:
+            raise RuntimeError("build() first")
+        if not hasattr(self, "_pg_dec8_t"):
+            raise RuntimeError("no page layout (index saved by an older "
+                               "version) — rebuild with build()")
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        q = jnp.asarray(q, jnp.float32)
+        b = q.shape[0]
+        nprobe = min(nprobe, self.coarse_k)
+        n_pages = self._pg_dec8_t.shape[1] // self._pg_lp
+        if max_pages is None:
+            # union bound: every (query, probe) pair could own up to two
+            # distinct pages (a cell list straddling a page boundary)
+            max_pages = min(n_pages, 2 * b * nprobe)
+        max_pages = max(8, min(max_pages, n_pages))
+        return ivf_union_search(
+            q, self.centroids, self._pg_dec8_t, self._pg_dec16,
+            self._pg_srow16, self._pg_nrm, self._pg_seg_cell,
+            self._pg_rowids, self._pg_srow, self._pg_dsq_min, nprobe,
+            min(k, self._pg_seg), max_pages, lp=self._pg_lp,
+            seg=self._pg_seg, exact_probe=exact_probe,
+            interpret=interpret)
 
     def search_threshold(self, q, radius: float, *, nprobe: int = 16,
                          max_results: int = 128,
@@ -414,6 +476,16 @@ class IVFADCIndex:
                  vec_groups=(np.asarray(self._vec_groups)
                              if self._vec_groups is not None
                              else np.zeros(0, np.int32)),
+                 pg_dec8_t=np.asarray(self._pg_dec8_t),
+                 pg_dec16=np.asarray(self._pg_dec16),
+                 pg_srow16=np.asarray(self._pg_srow16),
+                 pg_nrm=np.asarray(self._pg_nrm),
+                 pg_seg_cell=np.asarray(self._pg_seg_cell),
+                 pg_rowids=np.asarray(self._pg_rowids),
+                 pg_srow=np.asarray(self._pg_srow),
+                 pg_meta=np.asarray([self._pg_dsq_min,
+                                     self._pg_lp, self._pg_seg],
+                                    np.float64),
                  ntotal=self._ntotal)
 
     @classmethod
@@ -435,6 +507,17 @@ class IVFADCIndex:
             0, np.int32)
         idx._vec_groups = jnp.asarray(vg) if vg.size else None
         idx.n_groups = int(vg.max()) + 1 if vg.size else 0
+        if "pg_dec8_t" in z.files:     # page layout (round-4+ files)
+            idx._pg_dec8_t = jnp.asarray(z["pg_dec8_t"])
+            idx._pg_dec16 = jnp.asarray(z["pg_dec16"])
+            idx._pg_srow16 = jnp.asarray(z["pg_srow16"])
+            idx._pg_nrm = jnp.asarray(z["pg_nrm"])
+            idx._pg_seg_cell = jnp.asarray(z["pg_seg_cell"])
+            idx._pg_rowids = jnp.asarray(z["pg_rowids"])
+            idx._pg_srow = jnp.asarray(z["pg_srow"])
+            meta = np.asarray(z["pg_meta"])
+            idx._pg_dsq_min = float(meta[0])
+            idx._pg_lp, idx._pg_seg = int(meta[1]), int(meta[2])
         idx._ntotal = int(z["ntotal"])
         idx._built = True
         return idx

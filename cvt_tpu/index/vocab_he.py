@@ -47,7 +47,8 @@ import jax.numpy as jnp
 
 from cvt_tpu.match.vote_verify import vote_and_verify
 from cvt_tpu.ops.kmeans import (hierarchical_assign, hierarchical_kmeans,
-                                kmeans, kmeans_assign)
+                                kmeans, kmeans_assign,
+                                kmeans_assign_blocked)
 
 HE_BITS = 64
 HE_MAX_DIST = 24       # visual_index.h max Hamming distance
@@ -96,16 +97,37 @@ def _score_query(q_words, q_sigs, q_valid, buckets_img, buckets_sig,
     scores = jnp.zeros((n_images,), jnp.float32).at[flat_img].add(
         w.reshape(-1))
 
-    # exact overflow-tail pass (empty tail = no-op of static shape [Kq, 1])
-    th = _hamming(q_sigs[:, None, :], tail_sig[None, :, :])   # [Kq, T]
-    tw = _he_weight(th)
-    tw = tw * (idf[q_words] ** 2)[:, None] * tail_burst[None, :]
-    same_word = q_words[:, None] == tail_word[None, :]
-    tw = jnp.where(same_word & (tail_img[None, :] >= 0)
-                   & q_valid[:, None], tw, 0.0)
-    t_img = jnp.where(tail_img >= 0, tail_img, 0)
-    return scores.at[jnp.broadcast_to(t_img[None, :], tw.shape)
-                     .reshape(-1)].add(tw.reshape(-1))
+    # exact overflow-tail pass (empty tail = no-op of static shape
+    # [Kq, 1]); chunked over the tail so a large overflow (big corpora /
+    # 1M-word skew) never materializes a [Kq, T] matrix bigger than
+    # [Kq, 32768] per step
+    t = tail_word.shape[0]
+    tc = min(t, 32768)
+    n_tc = -(-t // tc)
+    pad = n_tc * tc - t
+    if pad:
+        tail_word = jnp.pad(tail_word, (0, pad), constant_values=-1)
+        tail_img = jnp.pad(tail_img, (0, pad), constant_values=-1)
+        tail_sig = jnp.pad(tail_sig, ((0, pad), (0, 0)))
+        tail_burst = jnp.pad(tail_burst, (0, pad))
+    idf_q2 = (idf[q_words] ** 2)[:, None]
+
+    def tail_chunk(scores, inp):
+        tw_w, tw_i, tw_s, tw_b = inp
+        th = _hamming(q_sigs[:, None, :], tw_s[None, :, :])   # [Kq, Tc]
+        tw = _he_weight(th) * idf_q2 * tw_b[None, :]
+        same_word = q_words[:, None] == tw_w[None, :]
+        tw = jnp.where(same_word & (tw_i[None, :] >= 0)
+                       & q_valid[:, None], tw, 0.0)
+        t_img = jnp.where(tw_i >= 0, tw_i, 0)
+        return scores.at[jnp.broadcast_to(t_img[None, :], tw.shape)
+                         .reshape(-1)].add(tw.reshape(-1)), None
+
+    scores, _ = jax.lax.scan(
+        tail_chunk, scores,
+        (tail_word.reshape(n_tc, tc), tail_img.reshape(n_tc, tc),
+         tail_sig.reshape(n_tc, tc, 2), tail_burst.reshape(n_tc, tc)))
+    return scores
 
 
 @jax.jit
@@ -175,7 +197,12 @@ class VocabHEIndex:
         visual_index.h:624-665); None = auto (on for n_words >= 16384,
         where the flat assignment matmul stops being practical). The
         reference operating point — 1M words — requires it. probes:
-        coarse cells searched per descriptor at assignment."""
+        coarse cells searched per descriptor at assignment; probes=0
+        selects EXACT blocked assignment over the flat vocabulary
+        (kmeans_assign_blocked: running-min over word blocks, pure MXU —
+        ~256 TFLOP for 1M descriptors x 1M words, a few seconds on chip,
+        where the reference had to settle for FLANN's approximate
+        tree descent)."""
         self.n_words = n_words
         self.dim = dim
         self.bucket_cap = bucket_cap
@@ -215,8 +242,11 @@ class VocabHEIndex:
                                        fine_iters=max(iters // 2, 6))
             self.coarse, self.fine = hres.coarse, hres.fine
             self.words = hres.flat_words()
-            assignments, _ = hierarchical_assign(
-                x, self.coarse, self.fine, probes=self.probes)
+            if self.probes == 0:
+                assignments, _ = kmeans_assign_blocked(x, self.words)
+            else:
+                assignments, _ = hierarchical_assign(
+                    x, self.coarse, self.fine, probes=self.probes)
         else:
             res = kmeans(key, x, self.n_words, iters=iters, chunk=65536)
             self.words = res.centroids
@@ -265,7 +295,9 @@ class VocabHEIndex:
     # ------------------------------------------------------------------ add
     def _encode(self, descriptors):
         x = jnp.asarray(descriptors, jnp.float32)
-        if self.hierarchical:
+        if self.hierarchical and self.probes == 0:
+            words, _ = kmeans_assign_blocked(x, self.words)
+        elif self.hierarchical:
             words, _ = hierarchical_assign(x, self.coarse, self.fine,
                                            probes=self.probes)
         else:
@@ -307,9 +339,18 @@ class VocabHEIndex:
         f_all = np.concatenate([np.arange(len(w), dtype=np.int32)
                                 for _, w, _, _ in self._entries])
         counts = np.bincount(w_all, minlength=self.n_words)
-        cap = self.bucket_cap or int(
-            min(max(counts.max(), 1),
-                max(8, 8 * max(1, len(w_all) // self.n_words))))
+        cap = self.bucket_cap
+        if cap is None:
+            cap = int(min(max(counts.max(), 1),
+                          max(8, 8 * max(1, len(w_all) // self.n_words))))
+            # grow cap until the overflow tail holds <= 1/8 of all
+            # entries (bursty words at W=1M would otherwise push most of
+            # the corpus into the dense-scanned tail)
+            while cap < counts.max():
+                tail_sz = int(np.clip(counts - cap, 0, None).sum())
+                if tail_sz <= max(1024, len(w_all) // 8):
+                    break
+                cap *= 2
         cap = -(-cap // 8) * 8
 
         # smoothed idf (see module docstring)

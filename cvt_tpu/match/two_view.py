@@ -45,13 +45,19 @@ CONFIG_NAMES = {
 @dataclass
 class TwoViewGeometry:
     config: int
-    f: np.ndarray | None          # [3, 3] fundamental (epipolar configs)
+    f: np.ndarray | None          # [3, 3] fundamental, PIXEL space (epipolar configs)
     h: np.ndarray | None          # [3, 3] homography (planar configs)
     inliers: np.ndarray           # [N] bool — winning model's inliers
     n_inliers: int
     # relative pose (filled when intrinsics are given)
     r: np.ndarray | None = None
     t: np.ndarray | None = None
+    # essential matrix in NORMALIZED coords (CALIBRATED only) — kept in its
+    # own field, like the reference's separate E/F/H members
+    # (two_view_geometry.h:251-255); `f` stays pixel-space so downstream
+    # Sampson gating (epipolar_inliers, guided matching, DB persistence)
+    # is always on pixel coordinates.
+    e: np.ndarray | None = None
 
     @property
     def config_name(self) -> str:
@@ -119,11 +125,14 @@ def estimate_two_view_geometry(key, src, dst, valid=None, *,
                                np.asarray(hres.inliers), h_n_i)
     r = t = None
     if calibrated and e_n_i >= min_e_f_inlier_ratio * max(f_n_i, 1):
-        # E holds up against F: CALIBRATED; pose from the 5-point E
+        # E holds up against F: CALIBRATED; pose from the 5-point E. `f`
+        # keeps the pixel-space F from the F-RANSAC (the reference stores
+        # both, two_view_geometry.h:251-255); E goes in its own field.
         rr, tt, _ = pose_from_essential(emat, x1, x2, e_inl)
         r, t = np.asarray(rr), np.asarray(tt)
-        return TwoViewGeometry(CALIBRATED, np.asarray(emat), None,
-                               np.asarray(e_inl), e_n_i, r=r, t=t)
+        return TwoViewGeometry(CALIBRATED, np.asarray(fmat), None,
+                               np.asarray(e_inl), e_n_i, r=r, t=t,
+                               e=np.asarray(emat))
     if calibrated:
         # intrinsics unreliable for this pair: fall back to F, pose via
         # E-from-F (the reference's UNCALIBRATED-with-prior behavior)

@@ -59,6 +59,67 @@ def kmeans_assign(x: jax.Array, centroids: jax.Array,
     return a.reshape(-1)[:n], d.reshape(-1)[:n]
 
 
+@partial(jax.jit, static_argnames=("word_block",))
+def _blocked_argmin_chunk(xc, centroids, word_block):
+    """Exact argmin over a HUGE centroid set without materializing the
+    [T, K] distance matrix: scan over word blocks keeping a running
+    (best dist, best id). Pure MXU matmuls + VPU min — no gathers."""
+    k = centroids.shape[0]
+    n_blocks = k // word_block
+    x_sq = jnp.sum(jnp.square(xc), -1, keepdims=True)             # [T, 1]
+    cb3 = centroids.reshape(n_blocks, word_block, centroids.shape[1])
+    c_sq3 = jnp.sum(jnp.square(cb3), -1)                          # [NB, WB]
+
+    def body(carry, inp):
+        bd, bw = carry
+        off, cb, c_sq = inp
+        d = (x_sq - 2.0 * jnp.matmul(xc, cb.T,
+                                     preferred_element_type=jnp.float32)
+             + c_sq[None, :])                                     # [T, WB]
+        a = jnp.argmin(d, -1).astype(jnp.int32)
+        db = jnp.take_along_axis(d, a[:, None], -1)[:, 0]
+        upd = db < bd
+        return (jnp.where(upd, db, bd),
+                jnp.where(upd, a + off, bw)), None
+
+    big = jnp.full((xc.shape[0],), 3.4e38, jnp.float32)
+    offs = jnp.arange(n_blocks, dtype=jnp.int32) * word_block
+    (bd, bw), _ = jax.lax.scan(
+        body, (big, jnp.zeros((xc.shape[0],), jnp.int32)),
+        (offs, cb3, c_sq3))
+    return bw, jnp.maximum(bd, 0.0)
+
+
+def kmeans_assign_blocked(x, centroids, *, chunk: int = 8192,
+                          word_block: int = 16384):
+    """Exact nearest-centroid assignment for centroid sets too large for
+    one [N, K] distance matrix (e.g. the 1,048,576-word vocabulary,
+    visual_index.h:624-665 / exe/vocab_tree.cc:74-78).
+
+    Scans centroid blocks with a running min: 2*N*K*D MXU flops total,
+    peak memory one [chunk, word_block] block. At N=1M, K=1M, D=128 this
+    is ~256 TFLOP — a few seconds of MXU time — with zero gather traffic,
+    so EXACT assignment is practical where the reference needed an
+    approximate FLANN tree. Returns (assign [N] i32, sq dist [N] f32).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    centroids = jnp.asarray(centroids, jnp.float32)
+    k = centroids.shape[0]
+    wb = min(word_block, k)
+    while k % wb:
+        wb //= 2
+    n = x.shape[0]
+    if n <= chunk:
+        return _blocked_argmin_chunk(x, centroids, wb)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    w, dd = jax.lax.map(
+        lambda xc: _blocked_argmin_chunk(xc, centroids, wb),
+        xp.reshape(n_chunks, chunk, x.shape[1]))
+    return w.reshape(-1)[:n], dd.reshape(-1)[:n]
+
+
 def _update(x, assign, k):
     """Centroid update via one-hot matmul (MXU). Returns (sums, counts)."""
     onehot = jax.nn.one_hot(assign, k, dtype=x.dtype)            # [N, K]
@@ -315,6 +376,10 @@ def hierarchical_assign(x, coarse, fine, *, probes: int = 4,
     """
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
+    # bound the per-probe gathered [chunk, K2, D] working set to ~1 GB
+    # (at K2=1024, D=128 the old fixed 16384 chunk would gather 8.6 GB)
+    k1, k2, d = fine.shape
+    chunk = max(256, min(chunk, (1 << 28) // max(k2 * d, 1)))
     if n <= chunk:
         return _hier_assign_chunk(x, coarse, fine, probes)
     n_chunks = -(-n // chunk)

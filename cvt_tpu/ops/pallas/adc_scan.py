@@ -51,17 +51,25 @@ BIG = 3.4e38  # finite +inf stand-in (inf arithmetic is slow on the VPU)
 _IMAX = 2_147_000_000
 
 
-def _pack_caps(seg: int) -> tuple[int, int]:
+def _pack_caps(seg: int, d: int) -> tuple[int, int]:
     """(valid norm cap, invalid norm marker) for score*seg+lane packing.
 
-    |ip| <= 127*127*128 ~ 2.06e6; valid keys <= (vcap + 2.06e6)*seg and
-    invalid keys >= (ibase - 2.06e6)*seg must stay inside int32 with
-    invalid strictly above valid. Feasible for seg <= 256.
+    Derived from the ACTUAL contraction depth d (not a hard-coded D=128):
+    |ip| <= ipb = 127*127*d. The invariants are
+      max valid key  = (vcap + ipb)*seg + seg-1  <  min invalid key
+      min invalid key = (ibase - ipb)*seg
+      max invalid key = (ibase + ipb)*seg + seg-1  <  2^31
+    all satisfied by vcap = 2^31//seg - 3*ipb - 2*seg, ibase = vcap +
+    2*ipb + 1. Raises when (seg, d) leaves no headroom instead of
+    silently wrapping int32 keys.
     """
-    if seg > 256:
-        raise ValueError("packed selection requires seg <= 256")
-    vcap = (2 ** 31) // seg - 8_500_000
-    ibase = vcap + 4_300_000
+    ipb = 127 * 127 * d
+    vcap = (2 ** 31) // seg - 3 * ipb - 2 * seg
+    ibase = vcap + 2 * ipb + 1
+    if vcap <= 0:
+        raise ValueError(
+            f"packed selection infeasible: seg={seg}, d={d} leaves no "
+            f"int32 headroom (need 2^31/seg > 3*127^2*d); reduce seg or d")
     return vcap, ibase
 
 
@@ -90,7 +98,7 @@ def _adc_segmin_kernel(nv_ref, qs_ref, codes_ref, cbt_ref, q2_ref, s2_ref,
     g = group
     spt = t // seg                     # segments per tile
     b = q2_ref.shape[0]
-    vcap, ibase = _pack_caps(seg)
+    vcap, ibase = _pack_caps(seg, dect_ref.shape[0])
     seg_bits = seg.bit_length() - 1
     assert seg == 1 << seg_bits, "packed path requires power-of-two seg"
 
@@ -277,18 +285,27 @@ def _rescore_segments(q, q_sq, seg_ids, codes, dec_sq, codebooks, k, seg,
     return -neg, ids
 
 
-def _fold_queries(q, srow):
+def _fold_queries(q, srow, norm_cap=None, vcap: int | None = None):
     """q [B, D] f32 -> (q2s [Bpad, D] int8, qs f32 scalar) with
     q2s * qs ~= -2 * q * scale_row, padded to B % 128 == 0.
 
     Symmetric per-BATCH quantization: one runtime scale for the whole
     query operand keeps the kernel's dequant a single scalar on the
-    int32 score, preserving exact integer packing."""
+    int32 score, preserving exact integer packing.
+
+    norm_cap (with vcap) clamps qs from BELOW so that the kernel's
+    integer norm column round(norm/qs) can never exceed vcap: a
+    low-magnitude query batch against large-norm database rows would
+    otherwise silently saturate every large norm to vcap and corrupt
+    ranking. Raising qs merely coarsens query quantization — a graceful
+    degradation instead of a silent one."""
     b = q.shape[0]
     bpad = -(-b // 128) * 128
     q2 = -2.0 * q * srow[None, :]
     qs = jnp.max(jnp.abs(q2)) / 127.0
     qs = jnp.maximum(qs, 1e-30)
+    if norm_cap is not None:
+        qs = jnp.maximum(qs, jnp.float32(norm_cap) / vcap)
     q2s = jnp.clip(jnp.round(q2 / qs), -127.0, 127.0).astype(jnp.int8)
     if bpad != b:
         q2s = jnp.pad(q2s, ((0, bpad - b), (0, 0)))
@@ -340,7 +357,13 @@ def _adc_search_fast(q, codes_t, cbt_q, srow, k, n_valid, tile_n, seg,
     """
     b = q.shape[0]
     q_sq = jnp.sum(jnp.square(q), axis=-1)
-    q2s, qs = _fold_queries(q, srow)
+    # analytic bound on quantized-space row norms: |dec_d| <= 127, so
+    # norm = sum (srow_d * dec_d)^2 <= 127^2 * ||srow||^2 — clamping qs
+    # below norm_bound/vcap guarantees the kernel's norm column never
+    # saturates (see _fold_queries)
+    vcap, _ = _pack_caps(seg, q.shape[1])
+    norm_bound = 127.0 ** 2 * jnp.sum(jnp.square(srow))
+    q2s, qs = _fold_queries(q, srow, norm_bound, vcap)
     s2 = (srow * srow)[:, None]
     segpack, tiletop = _adc_segmin(q2s, qs, codes_t, cbt_q, s2, n_valid,
                                    tile_n, seg, group, interpret)
@@ -354,7 +377,9 @@ def _adc_search_exact(q, codes_t, cbt_q, srow, codes, dec_sq, codebooks, k,
                       n_valid, tile_n, seg, group, slack, interpret):
     b = q.shape[0]
     q_sq = jnp.sum(jnp.square(q), axis=-1)
-    q2s, qs = _fold_queries(q, srow)
+    vcap, _ = _pack_caps(seg, q.shape[1])
+    norm_bound = 127.0 ** 2 * jnp.sum(jnp.square(srow))
+    q2s, qs = _fold_queries(q, srow, norm_bound, vcap)
     s2 = (srow * srow)[:, None]
     segpack, _ = _adc_segmin(q2s, qs, codes_t, cbt_q, s2, n_valid,
                              tile_n, seg, group, interpret)
@@ -419,7 +444,7 @@ def _adc_segmin_cached_kernel(nv_ref, qs_ref, dec_ref, norm_ref, q2_ref,
     t = tile_n
     spt = t // seg
     b = q2_ref.shape[0]
-    vcap, ibase = _pack_caps(seg)
+    vcap, ibase = _pack_caps(seg, dec_ref.shape[0])
     seg_bits = seg.bit_length() - 1
     assert seg == 1 << seg_bits
 
@@ -524,7 +549,9 @@ def adc_search_cached(q, dec8_t, norm_col, srow, k, n_valid,
     """
     b = q.shape[0]
     q_sq = jnp.sum(jnp.square(q), axis=-1)
-    q2s, qs = _fold_queries(q, srow)
+    # the cached path has the norms in hand: clamp qs below max(norm)/vcap
+    vcap, _ = _pack_caps(seg, dec8_t.shape[0])
+    q2s, qs = _fold_queries(q, srow, jnp.max(norm_col), vcap)
     segpack, tiletop = _adc_segmin_cached(q2s, qs, dec8_t, norm_col,
                                           n_valid, tile_n, seg, interpret)
     return _select_tiletop(segpack, tiletop, qs, q_sq, b, k, tile_n, seg)

@@ -254,17 +254,32 @@ class MultiHostADCServer:
         return fn
 
     def serve(self, q, k: int):
-        """One serving step: q [B, D] raw space -> (dists, global ids)."""
+        """One serving step: q [B, D] raw space -> (dists, global ids).
+
+        With a dp axis, the batch is padded up to a multiple of the dp
+        mesh-axis size before device_put (an indivisible batch would
+        otherwise fail deep inside shard_map with an opaque sharding
+        error); pad rows are sliced off the result."""
         if self._codes_t is None:
             raise RuntimeError("load() first")
         qr = self._rotate(q)
-        key = (k, qr.shape[0])
+        b = qr.shape[0]
+        bpad = b
+        if self.dp_axis:
+            dp = self.mesh.shape[self.dp_axis]
+            bpad = -(-b // dp) * dp
+            if bpad != b:
+                qr = jnp.concatenate(
+                    [qr, jnp.zeros((bpad - b, qr.shape[1]), qr.dtype)],
+                    axis=0)
+        key = (k, bpad)
         if key not in self._serve_cache:
-            self._serve_cache[key] = self._build(k, qr.shape[0])
+            self._serve_cache[key] = self._build(k, bpad)
         qspec = P(self.dp_axis) if self.dp_axis else P()
         qr = jax.device_put(qr, NamedSharding(self.mesh, qspec))
         d, i = self._serve_cache[key](qr, self._codes_t, self._cbt_q,
                                       self._srow)
+        d, i = d[:b], i[:b]
         return d, jnp.where(i < self._n, i, -1)
 
     def serve_pipelined(self, q_microbatches, k: int):
@@ -281,6 +296,11 @@ class MultiHostADCServer:
             raise RuntimeError("load() first")
         qs = jnp.asarray(q_microbatches, jnp.float32)
         t, b_mb, d_dim = qs.shape
+        if self.dp_axis and b_mb % self.mesh.shape[self.dp_axis]:
+            raise ValueError(
+                f"micro-batch size {b_mb} must be a multiple of the "
+                f"'{self.dp_axis}' mesh axis "
+                f"({self.mesh.shape[self.dp_axis]})")
         axis, per = self.axis, self._per
         tile_n = min(self.tile_n, per)
         seg = min(self.seg, tile_n)

@@ -136,3 +136,21 @@ def test_hierarchical_kmeans_quality(rng):
     err_h = float(np.mean(np.asarray(d_h)))
     err_f = float(flat.objective)
     assert err_h <= err_f * 1.25, (err_h, err_f)
+
+
+def test_kmeans_assign_blocked_exact(rng):
+    """Blocked running-min assignment (the 1M-word vocabulary path,
+    exe/vocab_tree.cc:74-78) returns EXACTLY the flat argmin — ids and
+    distances — across chunk and word-block boundaries."""
+    from cvt_tpu.ops.kmeans import kmeans_assign, kmeans_assign_blocked
+    x = rng.normal(size=(1000, 32)).astype(np.float32) * 5
+    c = rng.normal(size=(96, 32)).astype(np.float32) * 5
+    w_b, d_b = kmeans_assign_blocked(x, c, chunk=256, word_block=32)
+    w_f, d_f = kmeans_assign(jnp.asarray(x), jnp.asarray(c))
+    np.testing.assert_array_equal(np.asarray(w_b), np.asarray(w_f))
+    np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_f),
+                               rtol=1e-5, atol=1e-3)
+    # non-power-of-two K falls back to a dividing word block
+    w_b2, _ = kmeans_assign_blocked(x, c[:72], chunk=512, word_block=48)
+    w_f2, _ = kmeans_assign(jnp.asarray(x), jnp.asarray(c[:72]))
+    np.testing.assert_array_equal(np.asarray(w_b2), np.asarray(w_f2))

@@ -226,6 +226,12 @@ def test_two_view_calibrated_epipolar():
                                       k1=k, k2=k)
     assert geom.config == CALIBRATED
     assert geom.n_inliers > 0.8 * n
+    # E lives in its own field; `f` stays the PIXEL-space fundamental, so
+    # downstream Sampson gating on pixels accepts the true inliers
+    assert geom.e is not None
+    from cvt_tpu.match.two_view import epipolar_inliers
+    pix_inl = np.asarray(epipolar_inliers(geom.f, uv1, uv2, threshold=4.0))
+    assert pix_inl.sum() > 0.8 * n
     assert geom.r is not None
     np.testing.assert_allclose(geom.r, r2, atol=0.05)
     t_rec = geom.t / np.linalg.norm(geom.t)

@@ -176,3 +176,25 @@ def test_hierarchical_vocab_retrieval():
 def test_hierarchical_auto_threshold():
     assert VocabHEIndex(n_words=16384).hierarchical
     assert not VocabHEIndex(n_words=4096).hierarchical
+
+
+def test_vocab_exact_blocked_assignment(rng):
+    """probes=0 (exact blocked assignment over the flat vocabulary — the
+    1M-word operating-point path at reduced scale) retrieves correctly
+    and its word assignments match the exact flat argmin."""
+    from cvt_tpu.ops.kmeans import kmeans_assign
+    train = rng.gamma(1.5, 20.0, size=(4096, 128)).astype(np.float32)
+    images = [np.clip(train[rng.integers(0, 4096, 48)]
+                      + rng.normal(0, 2.0, (48, 128)), 0, 255)
+              .astype(np.float32) for _ in range(6)]
+    idx = VocabHEIndex(n_words=256, hierarchical=True, probes=0)
+    idx.train(jax.random.key(0), train, iters=8)
+    for i, d in enumerate(images):
+        idx.add_image(d, name=f"im{i}")
+    idx.prepare()
+    for i in (0, 5):
+        names, _ = idx.query(images[i], topk=3)
+        assert names[0] == f"im{i}"
+    w, _ = idx._encode(images[0])
+    w_flat, _ = kmeans_assign(jax.numpy.asarray(images[0]), idx.words)
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(w_flat))
