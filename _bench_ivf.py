@@ -13,6 +13,7 @@ Data is generated ON DEVICE in chunks (the host tunnel at ~50 MB/s
 cannot stage 5 GB of floats; the reference's own harness reads
 pre-encoded models for the same reason).
 """
+import functools
 import os
 import time
 
@@ -41,7 +42,7 @@ centers = jnp.asarray(
     rng.gamma(1.2, 24.0, size=(n_clusters, 128)).astype(np.float32))
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("m",))
 def draw_chunk(key, m):
     ci = jax.random.randint(key, (m,), 0, n_clusters)
     x = centers[ci] + 12.0 * jax.random.normal(key, (m, 128))
@@ -108,13 +109,19 @@ for N in N_LIST:
                               for j in range(N_GT_Q)]))
 
     # ---- measurements, all device-chained at batch B --------------------
-    stack = jnp.asarray(
-        np.stack([queries[j % 8192 // B * B:][:B] for j in range(8)]))
+    # 32 chained iterations: enough device time that the one-time
+    # launch-overhead subtraction cannot underflow the fast flat lane
+    sr = np.random.default_rng(7)
+    stack = jnp.asarray(np.stack(
+        [queries[sr.integers(0, 8192 - B)::1][:B] for _ in range(32)]))
 
     def flat_one(qb):
         d, i = flat.search(qb, K)
         return d[:, 0]
 
+    # warm OUTSIDE any trace: search() lazily builds + caches the
+    # kernel-layout arrays; first call must not happen under scan
+    jax.block_until_ready(flat.search(queries[:B], K))
     t_flat = chained_time(flat_one, stack,
                           launch_overhead_s=overhead)
     r_flat = recall10(flat.search(queries[:N_GT_Q], K)[1])

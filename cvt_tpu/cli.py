@@ -221,6 +221,23 @@ def _cmd_retrieve(args):
                           "scores": [float(s) for s in scores]}))
 
 
+def _cmd_image_undistorter(args):
+    """Undistort an image stack through a camera model — the
+    exe/image.cc:77-407 image_undistorter."""
+    from cvt_tpu.apps.undistort import undistort_images
+    images = np.load(args.images)
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 255.0
+    params = np.asarray([float(p) for p in args.params.split(",")],
+                        np.float32)
+    out, newp = undistort_images(images, args.model, params,
+                                 blank_pixels=args.blank_pixels)
+    np.save(args.out, np.asarray(out))
+    print(json.dumps({"n_images": int(images.shape[0]),
+                      "model_out": "pinhole",
+                      "params_out": [float(p) for p in newp]}))
+
+
 def _cmd_serve(args):
     """Load a FlatADCIndex pack and serve queries with the sharded
     MultiHostADCServer + continuous QueryBatcher (BASELINE config 5's
@@ -373,6 +390,15 @@ def main(argv=None):
     g.add_argument("--topk", type=int, default=10)
     g.add_argument("--rerank", default="svf")
     g.set_defaults(fn=_cmd_retrieve)
+
+    g = sub.add_parser("image_undistorter")
+    g.add_argument("--images", required=True, help=".npy [B, H, W(, C)]")
+    g.add_argument("--model", default="simple_radial")
+    g.add_argument("--params", required=True,
+                   help="comma-separated camera params")
+    g.add_argument("--blank-pixels", type=float, default=0.0)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=_cmd_image_undistorter)
 
     g = sub.add_parser("serve")
     g.add_argument("--index", required=True)

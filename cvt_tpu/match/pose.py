@@ -301,3 +301,148 @@ def pose_from_essential(e: jax.Array, x1: jax.Array, x2: jax.Array,
     counts = jnp.sum(good, axis=-1)
     best = jnp.argmax(counts)
     return r4[best], t4[best], counts[best]
+
+
+# ---------------------------------------------------------------------------
+# GP3P: generalized absolute pose (multi-camera rig) from 3 ray-point
+# correspondences. Reference: vlindex/src/estimators/
+# generalized_absolute_pose.cc (GP3PEstimator: depths along three rays
+# with known origins such that pairwise point distances are preserved,
+# then rig-from-world alignment).
+#
+# TPU-native solver: instead of the reference's Sylvester-resultant
+# octic + Eigen companion eigenvalues, the depth lambda_0 of ray 0 is
+# found by a BATCHED branch scan — lambda_1(lambda_0) and
+# lambda_2(lambda_0) are closed-form quadratic roots (2 branches each),
+# the remaining constraint g(lambda_0) is evaluated on a tan-warped
+# depth grid for all 4 branch combinations at once, and sign changes
+# are refined by fixed-iteration bisection. Fixed shapes, no
+# eigendecomposition, vmappable over RANSAC samples.
+# ---------------------------------------------------------------------------
+
+
+def _gp3p_g(lam0, o, d, x, s1, s2):
+    """Residual g(lambda_0) for branch signs (s1, s2) in {-1, +1}.
+
+    o, d, x: [3, 3] ray origins, unit directions, world points.
+    Returns (g value, lam1, lam2, feasible) — feasible = both inner
+    quadratics have real positive roots."""
+    d01 = jnp.sum(jnp.square(x[0] - x[1]))
+    d02 = jnp.sum(jnp.square(x[0] - x[2]))
+    d12 = jnp.sum(jnp.square(x[1] - x[2]))
+    p0 = o[0] + lam0[..., None] * d[0]
+
+    def depth(oj, dj, dsq, sgn):
+        w = p0 - oj                              # [..., 3]
+        b = jnp.sum(w * dj, axis=-1)
+        disc = b * b - jnp.sum(w * w, axis=-1) + dsq
+        ok = disc >= 0.0
+        lam = b + sgn * jnp.sqrt(jnp.maximum(disc, 0.0))
+        return lam, ok & (lam > 0.0)
+
+    lam1, ok1 = depth(o[1], d[1], d01, s1)
+    lam2, ok2 = depth(o[2], d[2], d02, s2)
+    p1 = o[1] + lam1[..., None] * d[1]
+    p2 = o[2] + lam2[..., None] * d[2]
+    g = jnp.sum(jnp.square(p1 - p2), axis=-1) - d12
+    return g, lam1, lam2, ok1 & ok2
+
+
+def gp3p(origins, directions, points, *, n_grid: int = 128,
+         bisect_iters: int = 48):
+    """Solve generalized P3P for ONE minimal sample.
+
+    origins/directions [3, 3]: per-correspondence ray origin + unit
+    direction in the RIG frame; points [3, 3]: world points. Returns
+    (r [S, 3, 3], t [S, 3], ok [S]) with S = 4 branches: world->rig
+    transforms p_rig = R x_world + t for every found root (ok masks
+    branches with no sign change / infeasible depths). Wrap in vmap for
+    batched RANSAC hypotheses.
+    """
+    o = jnp.asarray(origins, jnp.float32)
+    d = jnp.asarray(directions, jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    x = jnp.asarray(points, jnp.float32)
+
+    # depth grid: tan warp concentrates resolution near the scene scale
+    # while still covering (0, ~60 * scale)
+    scale = jnp.sqrt(jnp.max(jnp.asarray([
+        jnp.sum(jnp.square(x[0] - x[1])),
+        jnp.sum(jnp.square(x[0] - x[2])),
+        jnp.sum(jnp.square(x[1] - x[2]))]))) + \
+        jnp.max(jnp.linalg.norm(o - o[0], axis=-1)) + 1e-6
+    tt = (jnp.arange(n_grid, dtype=jnp.float32) + 0.5) / n_grid
+    grid = scale * jnp.tan(tt * (jnp.pi / 2) * 0.975)      # [G]
+
+    signs = jnp.asarray([[1., 1.], [1., -1.], [-1., 1.], [-1., -1.]])
+
+    def solve_branch(s):
+        g, _, _, ok = _gp3p_g(grid, o, d, x, s[0], s[1])
+        g = jnp.where(ok, g, jnp.nan)
+        flip = (g[:-1] * g[1:] < 0.0)                      # [G-1]
+        has = jnp.any(flip)
+        i = jnp.argmax(flip)                               # first flip
+        lo = jnp.where(has, grid[i], scale)
+        hi = jnp.where(has, grid[i + 1], scale * 2)
+
+        def bis(carry, _):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            gm, _, _, _ = _gp3p_g(mid, o, d, x, s[0], s[1])
+            gl, _, _, _ = _gp3p_g(lo, o, d, x, s[0], s[1])
+            same = (gm * gl > 0.0)
+            return (jnp.where(same, mid, lo),
+                    jnp.where(same, hi, mid)), None
+
+        (lo, hi), _ = jax.lax.scan(bis, (lo, hi), None,
+                                   length=bisect_iters)
+        lam0 = 0.5 * (lo + hi)
+        gv, lam1, lam2, okv = _gp3p_g(lam0, o, d, x, s[0], s[1])
+        p_rig = jnp.stack([o[0] + lam0 * d[0],
+                           o[1] + lam1 * d[1],
+                           o[2] + lam2 * d[2]], axis=0)    # [3, 3]
+        r, t = kabsch(x, p_rig)
+        ok_all = has & okv & (jnp.abs(gv) < 1e-3 * scale * scale)
+        return r, t, ok_all
+
+    r, t, ok = jax.vmap(solve_branch)(signs)
+    return r, t, ok
+
+
+def ransac_gp3p(key, origins, directions, points, valid=None, *,
+                threshold: float = 0.01, n_hypotheses: int = 128,
+                min_inliers: int = 6):
+    """Generalized-absolute-pose RANSAC over N ray-point matches.
+
+    origins/directions [N, 3] rig-frame rays; points [N, 3] world.
+    Residual: squared angular distance between the observed ray
+    direction and the direction to the transformed point (the
+    GP3PEstimator cosine residual). Returns (r, t, inliers, n_inliers).
+    """
+    o = jnp.asarray(origins, jnp.float32)
+    d = jnp.asarray(directions, jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    x = jnp.asarray(points, jnp.float32)
+    n = x.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    g = jax.random.gumbel(key, (n_hypotheses, n)) + logits[None, :]
+    _, picks = jax.lax.top_k(g, 3)                         # [S, 3]
+
+    r, t, ok = jax.vmap(lambda p: gp3p(o[p], d[p], x[p]))(picks)
+    r = r.reshape(-1, 3, 3)                                # [S*4, 3, 3]
+    t = t.reshape(-1, 3)
+    ok = ok.reshape(-1)
+
+    # residual: 1 - cos(angle) between d_i and normalize(R x_i + t - o_i)
+    px = jnp.einsum("sab,nb->sna", r, x) + t[:, None, :] - o[None, :, :]
+    pxn = px / jnp.maximum(jnp.linalg.norm(px, axis=-1, keepdims=True),
+                           1e-12)
+    res = 1.0 - jnp.sum(pxn * d[None, :, :], axis=-1)      # [S*4, N]
+    inl = (res < threshold) & valid[None, :]
+    support = jnp.where(ok, jnp.sum(inl, axis=-1), -1)
+    best = jnp.argmax(support)
+    return (r[best], t[best], inl[best],
+            jnp.sum(inl[best]).astype(jnp.int32))

@@ -30,6 +30,43 @@ _MODELS = {
 }
 
 
+def progressive_minimal_samples(key, n_hypotheses: int, mn: int, valid,
+                                scores=None):
+    """PROSAC-style batched minimal-set sampling (reference:
+    optim/sampler/progressive_sampler.cc): hypothesis j draws its
+    minimal set from the T_j TOP-RANKED correspondences, with T_j
+    ramping from ~2*mn up to all N — early hypotheses concentrate on
+    confident matches, late ones recover the uniform sampler.
+
+    The reference's sequential growth-function loop becomes one
+    vectorized Gumbel top-k with a per-hypothesis rank cutoff.
+    Returns picks [S, mn]. scores: higher = more confident (None =
+    uniform over valid)."""
+    n = valid.shape[0]
+    if scores is None:
+        logits = jnp.where(valid, 0.0, -jnp.inf)
+        g = jax.random.gumbel(key, (n_hypotheses, n)) + logits[None, :]
+        _, picks = jax.lax.top_k(g, mn)
+        return picks
+    s = jnp.where(valid, jnp.asarray(scores, jnp.float32), -jnp.inf)
+    order = jnp.argsort(-s)                     # best first
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    nv = jnp.sum(valid)
+    j = jnp.arange(n_hypotheses, dtype=jnp.float32) / max(
+        n_hypotheses - 1, 1)
+    # quadratic ramp (the PROSAC growth function's shape): T_j from
+    # 2*mn to nv
+    t_j = (2.0 * mn + (nv.astype(jnp.float32) - 2.0 * mn)
+           * j * j).astype(jnp.int32)           # [S]
+    t_j = jnp.clip(t_j, mn, nv)
+    ok = (rank[None, :] < t_j[:, None]) & valid[None, :]
+    logits = jnp.where(ok, 0.0, -jnp.inf)
+    g = jax.random.gumbel(key, (n_hypotheses, n)) + logits
+    _, picks = jax.lax.top_k(g, mn)
+    return picks
+
+
 class RansacResult(NamedTuple):
     model: jax.Array       # [2, 3] affine or [3, 3] homography
     inliers: jax.Array     # [N] bool
@@ -41,9 +78,12 @@ class RansacResult(NamedTuple):
                                    "min_inliers"))
 def ransac(key, src, dst, valid=None, *, model: str = "affine",
            threshold: float = 4.0, n_hypotheses: int = 256,
-           lo_iters: int = 2, min_inliers: int = 6) -> RansacResult:
+           lo_iters: int = 2, min_inliers: int = 6,
+           scores=None) -> RansacResult:
     """src/dst [N, 2] matched points, valid [N] mask; threshold in pixels.
 
+    scores (optional [N], higher = more confident) switches sampling to
+    the PROSAC-style progressive sampler (progressive_sampler.cc).
     Returns the best model by inlier count and its inlier mask.
     """
     spec = _MODELS[model]
@@ -55,12 +95,9 @@ def ransac(key, src, dst, valid=None, *, model: str = "affine",
     mn = spec["min_n"]
     t2 = threshold * threshold
 
-    # ---- sample S minimal sets (weighted toward valid entries) ---------
-    # Gumbel top-k per hypothesis gives distinct indices with
-    # valid-only support.
-    logits = jnp.where(valid, 0.0, -jnp.inf)
-    g = jax.random.gumbel(key, (n_hypotheses, n)) + logits[None, :]
-    _, picks = jax.lax.top_k(g, mn)                          # [S, mn]
+    # ---- sample S minimal sets (uniform-over-valid, or progressive) ----
+    picks = progressive_minimal_samples(key, n_hypotheses, mn, valid,
+                                        scores)              # [S, mn]
     s_src = src[picks]                                       # [S, mn, 2]
     s_dst = dst[picks]
 

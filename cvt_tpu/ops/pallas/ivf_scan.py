@@ -304,7 +304,7 @@ def ivf_union_search(q, centroids, dec8_t, dec16_rm, srow16, nrm_col,
 
 
 def build_page_layout(codes, assign, dsq, codebooks, *, lp: int = 512,
-                      seg: int = 64):
+                      seg: int = 32):
     """Host-side layout: cell-sorted, segment-pure decoded int8 pages.
 
     codes [N, M] u8 residual PQ codes; assign [N] i32 coarse cell; dsq

@@ -200,3 +200,45 @@ def test_ivf_probe_chunking_equivalent(sift_like):
     d2, i2 = idx.search(q, 10, nprobe=16, probe_chunk=4)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_ivf_search_fast_union_probe(sift_like):
+    """Union-probe Pallas scan (search_fast) vs the XLA probed engine:
+    same nprobe semantics, near-identical distance profiles (phase-2
+    rescores in f32 from the int16 cache), equivalent recall."""
+    base, queries = sift_like
+    _, gt = _gt(base, queries, 1)
+    idx = IVFADCIndex(coarse_k=64, m=8, k=64)
+    idx.train(jax.random.key(0), base[:2048], coarse_iters=6, pq_iters=6)
+    idx.build(base)
+    d_ref, i_ref = idx.search(queries, 10, nprobe=8)
+    d_f, i_f, dropped = idx.search_fast(queries, 10, nprobe=8)
+    assert int(dropped) == 0
+    d_ref, d_f = np.asarray(d_ref), np.asarray(d_f)
+    rel = np.abs(d_f - d_ref) / np.maximum(d_ref, 1.0)
+    assert rel.max() < 0.03, rel.max()
+    r_ref = recall_at_k(np.asarray(i_ref), np.asarray(gt)[:, 0], k=10)
+    r_f = recall_at_k(np.asarray(i_f), np.asarray(gt)[:, 0], k=10)
+    assert abs(r_ref - r_f) <= 0.05, (r_ref, r_f)
+    # no duplicate ids per query
+    for row in np.asarray(i_f):
+        v = row[row >= 0]
+        assert len(np.unique(v)) == len(v)
+    # batch-union mode scans a superset of every query's lists
+    _, i_u, _ = idx.search_fast(queries, 10, nprobe=8, exact_probe=False)
+    r_u = recall_at_k(np.asarray(i_u), np.asarray(gt)[:, 0], k=10)
+    assert r_u >= r_f - 0.02, (r_u, r_f)
+
+
+def test_ivf_search_fast_save_load(tmp_path, sift_like):
+    base, queries = sift_like
+    idx = IVFADCIndex(coarse_k=32, m=8, k=32)
+    idx.train(jax.random.key(2), base[:2048], coarse_iters=5, pq_iters=5)
+    idx.build(base[:2048])
+    p = str(tmp_path / "ivf.npz")
+    idx.save(p)
+    idx2 = IVFADCIndex.load(p)
+    d1, i1, _ = idx.search_fast(queries[:8], 5, nprobe=8)
+    d2, i2, _ = idx2.search_fast(queries[:8], 5, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)

@@ -181,3 +181,65 @@ def test_native_memory_decode(tmp_path, rng):
     assert len(mem_frames) == len(file_frames) == 6
     for a, b in zip(mem_frames, file_frames):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# image undistorter (exe/image.cc:77-407)
+# ---------------------------------------------------------------------------
+
+def test_image_undistorter_roundtrip():
+    """Render a smooth scene through a radially-distorted camera, then
+    undistort: the result must match the pinhole render of the same
+    scene (PSNR bound on the interior) — the distort->undistort check
+    from base/undistortion.cc's semantics."""
+    import jax.numpy as jnp
+    from cvt_tpu.apps.undistort import undistort_images
+    from cvt_tpu.match.cameras import image_to_world
+
+    h = w = 96
+    f_px, cx, cy, k1 = 80.0, 47.5, 47.5, 0.15
+    params = np.array([f_px, cx, cy, k1], np.float32)
+
+    def scene(x, y):
+        return (0.5 + 0.25 * np.sin(6.0 * x) * np.cos(5.0 * y)
+                + 0.25 * np.sin(3.0 * (x + y)))
+
+    # render the DISTORTED capture: each source pixel's undistorted ray
+    # (Newton inverse) evaluates the scene
+    vv, uu = np.mgrid[0:h, 0:w].astype(np.float32)
+    uv = np.stack([uu.ravel(), vv.ravel()], -1)
+    xy = np.asarray(image_to_world("simple_radial", params, uv))
+    distorted = scene(xy[:, 0], xy[:, 1]).reshape(h, w).astype(np.float32)
+
+    out, newp = undistort_images(distorted[None], "simple_radial", params)
+    out = np.asarray(out)[0]
+    fx, fy, ncx, ncy = newp
+    xg = (uu - ncx) / fx
+    yg = (vv - ncy) / fy
+    expected = scene(xg, yg).astype(np.float32)
+
+    interior = np.s_[12:-12, 12:-12]
+    err = out[interior] - expected[interior]
+    psnr = 10 * np.log10(1.0 / max(np.mean(err * err), 1e-12))
+    assert psnr > 32.0, psnr
+    # multi-channel + batch path
+    rgb = np.stack([distorted, distorted * 0.5, distorted + 0.1], -1)
+    out2, _ = undistort_images(np.stack([rgb, rgb]), "simple_radial",
+                               params)
+    assert np.asarray(out2).shape == (2, h, w, 3)
+    np.testing.assert_allclose(np.asarray(out2)[0, ..., 0], out,
+                               atol=1e-5)
+
+
+def test_undistort_camera_blank_pixels():
+    """blank_pixels=1 keeps every source pixel (smaller focal);
+    blank_pixels=0 crops to valid pixels (larger focal) for a
+    pincushion k1>0 camera."""
+    from cvt_tpu.apps.undistort import undistort_camera
+    params = np.array([80.0, 47.5, 47.5, 0.15], np.float32)
+    p_crop = undistort_camera("simple_radial", params, 96, 96,
+                              blank_pixels=0.0)
+    p_full = undistort_camera("simple_radial", params, 96, 96,
+                              blank_pixels=1.0)
+    assert p_crop[0] > p_full[0]
+    assert p_crop[2] == p_full[2] == 47.5

@@ -257,3 +257,78 @@ def test_two_view_degenerate_random():
     geom = estimate_two_view_geometry(jax.random.PRNGKey(3), uv1, uv2,
                                       min_inliers=25)
     assert geom.config == DEGENERATE
+
+
+# ---------------------------------------------------------------------------
+# GP3P generalized absolute pose (generalized_absolute_pose.cc)
+# ---------------------------------------------------------------------------
+
+def _rig_scene(n, seed=0, noise=0.0):
+    """Multi-camera rig: rays from 3 distinct origins observing world
+    points under a known rig pose (world -> rig: p = R x + t)."""
+    rng = np.random.default_rng(seed)
+    ang = rng.uniform(0.2, 0.5)
+    r = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    t = rng.uniform(-1, 1, 3).astype(np.float32)
+    x = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    x[:, 2] += 6.0
+    cams = np.array([[0.3, 0, 0], [-0.3, 0.1, 0], [0, -0.2, 0.1]],
+                    np.float32)
+    origins = cams[np.arange(n) % 3]
+    p = x @ r.T + t
+    d = p - origins
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    if noise:
+        d += rng.normal(0, noise, d.shape).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return origins, d.astype(np.float32), x, r, t
+
+
+def test_gp3p_minimal_exact():
+    """Noise-free minimal sample: one branch recovers the exact rig
+    pose."""
+    from cvt_tpu.match.pose import gp3p
+    o, d, x, r_true, t_true = _rig_scene(3, seed=1)
+    r, t, ok = gp3p(o, d, x)
+    r, t, ok = np.asarray(r), np.asarray(t), np.asarray(ok)
+    assert ok.any()
+    errs = [np.abs(np.trace(r[i].T @ r_true)) for i in range(4)
+            if ok[i]]
+    ts = [np.linalg.norm(t[i] - t_true) for i in range(4) if ok[i]]
+    assert max(errs) > 2.98, errs          # some branch matches R
+    assert min(ts) < 0.05, ts
+
+
+def test_gp3p_ransac_with_outliers():
+    from cvt_tpu.match.pose import ransac_gp3p
+    o, d, x, r_true, t_true = _rig_scene(60, seed=2, noise=1e-4)
+    rng = np.random.default_rng(3)
+    d_out = d.copy()
+    out_idx = rng.choice(60, 15, replace=False)
+    d_out[out_idx] = rng.normal(size=(15, 3))
+    d_out /= np.linalg.norm(d_out, axis=-1, keepdims=True)
+    r, t, inl, n_inl = ransac_gp3p(jax.random.key(0), o, d_out, x,
+                                   threshold=1e-4, n_hypotheses=256)
+    assert int(n_inl) >= 40, int(n_inl)
+    assert np.abs(np.trace(np.asarray(r).T @ r_true)) > 2.97
+    assert np.linalg.norm(np.asarray(t) - t_true) < 0.1
+
+
+def test_progressive_sampler_prefers_top_ranked():
+    """Early hypotheses draw only from high-score correspondences; the
+    full batch still covers everything (progressive_sampler.cc)."""
+    from cvt_tpu.match.ransac import progressive_minimal_samples
+    n, s_hyp = 100, 64
+    valid = jnp.ones((n,), bool)
+    scores = jnp.arange(n, 0, -1).astype(jnp.float32)   # idx 0 best
+    picks = progressive_minimal_samples(jax.random.key(0), s_hyp, 4,
+                                        valid, scores)
+    picks = np.asarray(picks)
+    assert picks[:8].max() < 20          # early = top-ranked only
+    assert picks.max() > 50              # late hypotheses reach the tail
+    # invalid entries never sampled
+    valid2 = valid.at[:50].set(False)
+    picks2 = progressive_minimal_samples(jax.random.key(1), s_hyp, 4,
+                                         valid2, scores)
+    assert np.asarray(picks2).min() >= 50
