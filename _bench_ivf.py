@@ -115,25 +115,44 @@ for N in N_LIST:
     stack = jnp.asarray(np.stack(
         [queries[sr.integers(0, 8192 - B)::1][:B] for _ in range(32)]))
 
-    def flat_one(qb):
-        d, i = flat.search(qb, K)
+    # big arrays ride as explicit args (closure constants 413 the
+    # tunnel's remote-compile at this scale)
+    from cvt_tpu.ops.pallas.adc_scan import adc_search
+    from cvt_tpu.ops.pallas.ivf_scan import ivf_union_search
+    jax.block_until_ready(flat.search(queries[:B], K))   # warm layout
+    codes_t, cbt_q, srow_f, group = flat._pallas_arrays()
+    n_flat = flat.ntotal
+
+    def flat_one(qb, codes_t, cbt_q, srow_f):
+        d, i = adc_search(qb, None, None, None, pq_flat.codebooks, K,
+                          n_flat, codes_t=codes_t, cbt_q=cbt_q,
+                          srow=srow_f, group=group, interpret=False)
         return d[:, 0]
 
-    # warm OUTSIDE any trace: search() lazily builds + caches the
-    # kernel-layout arrays; first call must not happen under scan
-    jax.block_until_ready(flat.search(queries[:B], K))
     t_flat = chained_time(flat_one, stack,
+                          consts=(codes_t, cbt_q, srow_f),
                           launch_overhead_s=overhead)
     r_flat = recall10(flat.search(queries[:N_GT_Q], K)[1])
 
     row = {"N": N, "flat_ms": t_flat * 1e3, "flat_qps": B / t_flat,
            "flat_r10": r_flat, "ivf": {}}
+    n_pages = ivf._pg_dec8_t.shape[1] // ivf._pg_lp
+    ivf_consts = (ivf.centroids, ivf._pg_dec8_t, ivf._pg_dec16,
+                  ivf._pg_srow16, ivf._pg_nrm, ivf._pg_seg_cell,
+                  ivf._pg_rowids, ivf._pg_srow)
     for nprobe in (8, 16, 64):
-        def ivf_one(qb, nprobe=nprobe):
-            d, i, _ = ivf.search_fast(qb, K, nprobe=nprobe)
+        max_pages = min(n_pages, 2 * B * nprobe)
+
+        def ivf_one(qb, cent, dec8_t, dec16, srow16, nrm, seg_cell,
+                    rowids, srow, nprobe=nprobe, max_pages=max_pages):
+            d, i, _ = ivf_union_search(
+                qb, cent, dec8_t, dec16, srow16, nrm, seg_cell, rowids,
+                srow, ivf._pg_dsq_min, nprobe, K, max_pages,
+                lp=ivf._pg_lp, seg=ivf._pg_seg)
             return d[:, 0]
 
-        t_ivf = chained_time(ivf_one, stack, launch_overhead_s=overhead)
+        t_ivf = chained_time(ivf_one, stack, consts=ivf_consts,
+                             launch_overhead_s=overhead)
         d_i, ids_i, drop = ivf.search_fast(queries[:N_GT_Q], K,
                                            nprobe=nprobe)
         row["ivf"][nprobe] = {"ms": t_ivf * 1e3, "qps": B / t_ivf,

@@ -114,3 +114,57 @@ def undistort_images(images, model: str, params, *,
     out = jax.vmap(lambda im: _undistort_one(im, params, newp, model,
                                              h_out, w_out))(images)
     return out, np.asarray(newp)
+
+
+@partial(jax.jit, static_argnames=("h_out", "w_out"))
+def warp_image_homography(image, h_mat, h_out: int, w_out: int):
+    """Warp with a 3x3 homography H mapping TARGET pixel -> SOURCE pixel
+    (base/warp.cc WarpImageWithHomography): bilinear inverse warp."""
+    image = jnp.asarray(image, jnp.float32)
+    h_mat = jnp.asarray(h_mat, jnp.float32)
+    vv, uu = jnp.meshgrid(jnp.arange(h_out, dtype=jnp.float32),
+                          jnp.arange(w_out, dtype=jnp.float32),
+                          indexing="ij")
+    ones = jnp.ones_like(uu)
+    p = jnp.einsum("ij,jhw->ihw", h_mat, jnp.stack([uu, vv, ones]))
+    su = p[0] / p[2]
+    sv = p[1] / p[2]
+
+    def sample(chan):
+        return jax.scipy.ndimage.map_coordinates(
+            chan, [sv, su], order=1, mode="constant", cval=0.0)
+
+    if image.ndim == 2:
+        return sample(image)
+    return jnp.stack([sample(image[..., c])
+                      for c in range(image.shape[-1])], axis=-1)
+
+
+def warp_between_cameras(image, src_model: str, src_params,
+                         dst_model: str, dst_params):
+    """Resample `image` taken by the source camera as if taken by the
+    target camera (base/warp.cc WarpImageBetweenCameras): target pixel
+    -> target-normalized ray (iterative undistortion) -> source
+    distortion -> source pixel -> bilinear sample."""
+    from cvt_tpu.match.cameras import image_to_world
+    image = jnp.asarray(image, jnp.float32)
+    h, w = image.shape[:2]
+    vv, uu = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    uv = np.stack([uu.ravel(), vv.ravel()], -1)
+    xy = image_to_world(dst_model, jnp.asarray(dst_params, jnp.float32),
+                        jnp.asarray(uv))
+    sp = jnp.asarray(src_params, jnp.float32)
+    f, c = _focal_principal(src_model, sp[None, None, :])
+    src = _distort(src_model, sp[None, None, :], xy[None]) * f + c
+    su = src[0, :, 0].reshape(h, w)
+    sv = src[0, :, 1].reshape(h, w)
+
+    def sample(chan):
+        return jax.scipy.ndimage.map_coordinates(
+            chan, [sv, su], order=1, mode="constant", cval=0.0)
+
+    if image.ndim == 2:
+        return sample(image)
+    return jnp.stack([sample(image[..., ch])
+                      for ch in range(image.shape[-1])], axis=-1)

@@ -446,3 +446,28 @@ def ransac_gp3p(key, origins, directions, points, valid=None, *,
     best = jnp.argmax(support)
     return (r[best], t[best], inl[best],
             jnp.sum(inl[best]).astype(jnp.int32))
+
+
+def similarity_transform(src, dst, weights=None):
+    """3-D similarity alignment (base/similarity_transform.h — Umeyama):
+    returns (scale, R [3,3], t [3]) with dst ~= scale * R src + t.
+    Batched over leading axes like kabsch."""
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    if weights is None:
+        weights = jnp.ones(src.shape[:-1], src.dtype)
+    w = weights[..., None] / (
+        jnp.sum(weights, axis=-1)[..., None, None] + _EPS)
+    mu_s = jnp.sum(src * w, axis=-2, keepdims=True)
+    mu_d = jnp.sum(dst * w, axis=-2, keepdims=True)
+    r, _ = kabsch(src, dst, weights)
+    s0 = src - mu_s
+    var_s = jnp.sum(jnp.sum(jnp.square(s0), -1) * weights, -1) / (
+        jnp.sum(weights, -1) + _EPS)
+    rs = jnp.einsum("...ij,...nj->...ni", r, s0)
+    cov = jnp.sum(jnp.sum(rs * (dst - mu_d), -1) * weights, -1) / (
+        jnp.sum(weights, -1) + _EPS)
+    scale = cov / jnp.maximum(var_s, _EPS)
+    t = (mu_d[..., 0, :] - scale[..., None]
+         * jnp.einsum("...ij,...j->...i", r, mu_s[..., 0, :]))
+    return scale, r, t

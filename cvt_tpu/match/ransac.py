@@ -21,12 +21,18 @@ import jax
 import jax.numpy as jnp
 
 from cvt_tpu.match.solvers import (
-    apply_affine, apply_homography, fit_affine, fit_homography_dlt)
+    apply_affine, apply_homography, apply_similarity2d, apply_translation,
+    fit_affine, fit_homography_dlt, fit_similarity2d, fit_translation)
 
 _MODELS = {
     "affine": dict(min_n=3, fit=fit_affine, apply=apply_affine),
     "homography": dict(min_n=4, fit=fit_homography_dlt,
                        apply=apply_homography),
+    # translation_transform.h / similarity at 2-D
+    "translation": dict(min_n=1, fit=fit_translation,
+                        apply=apply_translation),
+    "similarity": dict(min_n=2, fit=fit_similarity2d,
+                       apply=apply_similarity2d),
 }
 
 
@@ -117,8 +123,7 @@ def ransac(key, src, dst, valid=None, *, model: str = "affine",
     # ---- local optimization: weighted refit on inliers -----------------
     # (LORANSAC's inner refit, loransac.h:54; homography uses the
     # inlier-weighted DLT)
-    refit = (fit_affine if model == "affine"
-             else fit_homography_dlt)
+    refit = spec["fit"]
 
     def lo_step(carry, _):
         mdl, inl_mask = carry

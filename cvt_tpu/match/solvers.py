@@ -109,3 +109,55 @@ def apply_homography(h: jax.Array, pts: jax.Array) -> jax.Array:
     ph = jnp.concatenate([pts, ones], axis=-1)
     out = jnp.einsum("...ij,...nj->...ni", h, ph)
     return out[..., :2] / (out[..., 2:3] + 1e-12)
+
+
+def fit_translation(src: jax.Array, dst: jax.Array,
+                    weights: jax.Array | None = None) -> jax.Array:
+    """2-D translation estimator (estimators/translation_transform.h):
+    the weighted mean displacement. src/dst [..., n, 2] -> [..., 2]."""
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    if weights is None:
+        return jnp.mean(dst - src, axis=-2)
+    w = weights[..., None]
+    return (jnp.sum((dst - src) * w, axis=-2)
+            / jnp.maximum(jnp.sum(w, axis=-2), 1e-12))
+
+
+def apply_translation(t: jax.Array, pts: jax.Array) -> jax.Array:
+    return jnp.asarray(pts, jnp.float32) + t[..., None, :]
+
+
+def fit_similarity2d(src: jax.Array, dst: jax.Array,
+                     weights: jax.Array | None = None) -> jax.Array:
+    """2-D similarity (scale+rotation+translation) as a [2, 3] matrix,
+    the closed-form complex least squares (dst ~ s*R*src + t). Batched;
+    weights optional. (estimators/similarity_transform.h at 2-D.)"""
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    if weights is None:
+        weights = jnp.ones(src.shape[:-1], src.dtype)
+    w = weights[..., None] / (jnp.sum(weights, axis=-1)[..., None, None]
+                              + 1e-12)
+    mu_s = jnp.sum(src * w, axis=-2, keepdims=True)
+    mu_d = jnp.sum(dst * w, axis=-2, keepdims=True)
+    s0 = src - mu_s
+    d0 = dst - mu_d
+    # complex regression: (a + ib) = sum(conj(s) d) / sum(|s|^2)
+    num_re = jnp.sum((s0[..., 0] * d0[..., 0]
+                      + s0[..., 1] * d0[..., 1]) * weights, axis=-1)
+    num_im = jnp.sum((s0[..., 0] * d0[..., 1]
+                      - s0[..., 1] * d0[..., 0]) * weights, axis=-1)
+    den = jnp.sum((s0[..., 0] ** 2 + s0[..., 1] ** 2) * weights, axis=-1)
+    a = num_re / jnp.maximum(den, 1e-12)
+    b = num_im / jnp.maximum(den, 1e-12)
+    rot = jnp.stack([jnp.stack([a, -b], -1), jnp.stack([b, a], -1)], -2)
+    t = (mu_d[..., 0, :]
+         - jnp.einsum("...ij,...j->...i", rot, mu_s[..., 0, :]))
+    return jnp.concatenate([rot, t[..., :, None]], axis=-1)   # [..., 2, 3]
+
+
+def apply_similarity2d(m: jax.Array, pts: jax.Array) -> jax.Array:
+    return (jnp.einsum("...ij,...nj->...ni", m[..., :2],
+                       jnp.asarray(pts, jnp.float32))
+            + m[..., None, :, 2])

@@ -34,13 +34,20 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-def chained_time(fn, stack, *, reduce_out=None, warmup: bool = True,
+def chained_time(fn, stack, *, consts=(), reduce_out=None,
+                 warmup: bool = True,
                  launch_overhead_s: float = 0.0) -> float:
-    """Seconds per iteration of `fn(batch)` with device-chained execution.
+    """Seconds per iteration of `fn(batch, *consts)` with device-chained
+    execution.
 
     fn: batch -> pytree of arrays. stack: [ITERS, ...] array scanned over
     its leading axis. Each scan step folds a scalar of fn's output into a
     carry, and only the carry is fetched — one host round-trip total.
+
+    Pass LARGE arrays via `consts`, not via fn's closure: closed-over
+    arrays embed as HLO constants, and the axon tunnel's remote-compile
+    endpoint rejects oversized request bodies (HTTP 413) once those
+    constants reach a few hundred MB.
     """
     import jax
     import jax.numpy as jnp
@@ -48,9 +55,9 @@ def chained_time(fn, stack, *, reduce_out=None, warmup: bool = True,
     iters = stack.shape[0]
 
     @jax.jit
-    def run(xs):
+    def run(xs, *cs):
         def body(c, x):
-            out = fn(x)
+            out = fn(x, *cs)
             leaves = jax.tree_util.tree_leaves(out)
             s = sum(jnp.ravel(l)[0].astype(jnp.float32) for l in leaves)
             return c + s, None
@@ -58,9 +65,9 @@ def chained_time(fn, stack, *, reduce_out=None, warmup: bool = True,
         return c
 
     if warmup:
-        np.asarray(run(stack)) + 0
+        np.asarray(run(stack, *consts)) + 0
     t0 = time.time()
-    np.asarray(run(stack)) + 0
+    np.asarray(run(stack, *consts)) + 0
     return max(time.time() - t0 - launch_overhead_s, 1e-9) / iters
 
 
