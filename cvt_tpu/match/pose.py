@@ -471,3 +471,112 @@ def similarity_transform(src, dst, weights=None):
     t = (mu_d[..., 0, :] - scale[..., None]
          * jnp.einsum("...ij,...j->...i", r, mu_s[..., 0, :]))
     return scale, r, t
+
+
+# ---------------------------------------------------------------------------
+# Generalized relative pose (rig-to-rig). Reference:
+# vlindex/src/estimators/generalized_relative_pose.cc (GR6P, Stewenius'
+# 64-solution minimal solver via Groebner bases + eigendecomposition).
+#
+# TPU-native solver: the LINEAR 17-point formulation (the generalized
+# epipolar constraint is linear in the 18 entries of (E, R)):
+#     d2^T E d1 + d2^T R m1 + m2^T R d1 = 0
+# with Pluecker moments m = o x d. One batched SVD of the [N, 18]
+# design matrix gives (E, R) up to scale; R projects to SO(3) by SVD
+# and t comes from [t]x = E R^T. No Groebner machinery, vmappable, and
+# with RANSAC's redundancy the non-minimal sample costs nothing on TPU.
+# ---------------------------------------------------------------------------
+
+
+def fit_generalized_relative_pose(o1, d1, o2, d2):
+    """(R, t) with rig2 = R * rig1 + t from >= 17 ray-ray matches.
+
+    o*/d* [..., n, 3]: ray origins + unit directions in each rig frame.
+    Convention: a world point X satisfies, in rig frames,
+    x2 = R x1 + t; rays (o_i, d_i) pass through x_i.
+    """
+    o1 = jnp.asarray(o1, jnp.float32)
+    d1 = jnp.asarray(d1, jnp.float32)
+    o2 = jnp.asarray(o2, jnp.float32)
+    d2 = jnp.asarray(d2, jnp.float32)
+    m1 = jnp.cross(o1, d1)
+    m2 = jnp.cross(o2, d2)
+    # rows: kron terms for  d2^T E d1  (E entries), and
+    # d2^T R m1 + m2^T R d1  (R entries)
+    e_block = jnp.einsum("...ni,...nj->...nij", d2, d1).reshape(
+        *d1.shape[:-1], 9)
+    r_block = (jnp.einsum("...ni,...nj->...nij", d2, m1)
+               + jnp.einsum("...ni,...nj->...nij", m2, d1)).reshape(
+        *d1.shape[:-1], 9)
+    a = jnp.concatenate([e_block, r_block], axis=-1)         # [..., n, 18]
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+    sol = vt[..., -1, :]                                     # [..., 18]
+    e = sol[..., :9].reshape(*sol.shape[:-1], 3, 3)
+    r_raw = sol[..., 9:].reshape(*sol.shape[:-1], 3, 3)
+    # project r_raw to a rotation; fix the global sign so det(+R) = +1
+    u, s, vtr = jnp.linalg.svd(r_raw)
+    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", u, vtr))
+    # r_raw = sigma * R_true: det(u vt) = sign(sigma), so R_true =
+    # sign(sigma) * u vt (det +1 restored)
+    sign = jnp.sign(det)[..., None, None]
+    r = jnp.einsum("...ij,...jk->...ik", u * sign, vtr)
+    # common scale of the solution vector: rotations have unit singular
+    # values; undo it on E before extracting t
+    scale = jnp.mean(s, axis=-1)[..., None, None] * sign
+    e = e / jnp.maximum(jnp.abs(scale), 1e-12) * jnp.sign(scale)
+    tx = jnp.einsum("...ij,...kj->...ik", e, r)              # [t]x = E R^T
+    t = jnp.stack([tx[..., 2, 1] - tx[..., 1, 2],
+                   tx[..., 0, 2] - tx[..., 2, 0],
+                   tx[..., 1, 0] - tx[..., 0, 1]], axis=-1) * 0.5
+    return r, t
+
+
+def generalized_epipolar_residual(r, t, o1, d1, o2, d2):
+    """|generalized epipolar constraint| per match (the GR6P residual)."""
+    m1 = jnp.cross(o1, d1)
+    m2 = jnp.cross(o2, d2)
+    tx = jnp.zeros(r.shape[:-2] + (3, 3), r.dtype)
+    tx = tx.at[..., 0, 1].set(-t[..., 2]).at[..., 0, 2].set(t[..., 1])
+    tx = tx.at[..., 1, 0].set(t[..., 2]).at[..., 1, 2].set(-t[..., 0])
+    tx = tx.at[..., 2, 0].set(-t[..., 1]).at[..., 2, 1].set(t[..., 0])
+    e = jnp.einsum("...ij,...jk->...ik", tx, r)
+    v = (jnp.einsum("...ni,...ij,...nj->...n", d2, e, d1)
+         + jnp.einsum("...ni,...ij,...nj->...n", d2, r, m1)
+         + jnp.einsum("...ni,...ij,...nj->...n", m2, r, d1))
+    return jnp.abs(v)
+
+
+def ransac_generalized_relative_pose(key, o1, d1, o2, d2, valid=None, *,
+                                     threshold: float = 1e-4,
+                                     n_hypotheses: int = 256,
+                                     sample_size: int = 20,
+                                     min_inliers: int = 20):
+    """RANSAC over 17+-point generalized-relative-pose samples.
+
+    Caveat (inherent to the linear solver): a 17+-point sample needs
+    (1-eps)^20 clean-sample probability, so this tolerates only LOW
+    outlier rates (<~15% at the default 256 hypotheses) — raise
+    n_hypotheses for dirtier matches. The reference's minimal GR6P
+    (Groebner, 64 solutions) trades that robustness for a solver that
+    does not map to TPU; rig loop-closure candidates arriving from
+    vocab-tree retrieval + per-pair verification are already mostly
+    clean, which is this solver's regime."""
+    o1 = jnp.asarray(o1, jnp.float32)
+    d1 = jnp.asarray(d1, jnp.float32)
+    o2 = jnp.asarray(o2, jnp.float32)
+    d2 = jnp.asarray(d2, jnp.float32)
+    n = d1.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    g = jax.random.gumbel(key, (n_hypotheses, n)) + logits[None, :]
+    _, picks = jax.lax.top_k(g, sample_size)
+    r, t = fit_generalized_relative_pose(o1[picks], d1[picks],
+                                         o2[picks], d2[picks])
+    res = generalized_epipolar_residual(
+        r[:, None], t[:, None], o1[None], d1[None], o2[None], d2[None])
+    inl = (res < threshold) & valid[None, :]
+    support = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(support)
+    return (r[best], t[best], inl[best],
+            jnp.sum(inl[best]).astype(jnp.int32))

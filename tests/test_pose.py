@@ -332,3 +332,68 @@ def test_progressive_sampler_prefers_top_ranked():
     picks2 = progressive_minimal_samples(jax.random.key(1), s_hyp, 4,
                                          valid2, scores)
     assert np.asarray(picks2).min() >= 50
+
+
+def test_generalized_relative_pose_linear():
+    """17-point linear GR solver recovers the rig-to-rig transform from
+    noise-free ray matches (generalized_relative_pose.cc capability)."""
+    from cvt_tpu.match.pose import (fit_generalized_relative_pose,
+                                    generalized_epipolar_residual)
+    rng = np.random.default_rng(4)
+    ang = 0.35
+    r_true = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                       [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+    t_true = np.array([0.8, -0.3, 0.2], np.float32)
+    n = 40
+    x1 = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    x1[:, 2] += 6.0                       # points in rig-1 frame
+    cams = np.array([[0.4, 0, 0], [-0.4, 0.2, 0], [0, -0.3, 0.2],
+                     [0.1, 0.3, -0.2]], np.float32)
+    o1 = cams[np.arange(n) % 4]
+    o2 = cams[(np.arange(n) + 1) % 4]
+    d1 = x1 - o1
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    x2 = x1 @ r_true.T + t_true
+    d2 = x2 - o2
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    r, t = fit_generalized_relative_pose(o1, d1, o2, d2)
+    assert np.abs(np.trace(np.asarray(r).T @ r_true)) > 2.999
+    np.testing.assert_allclose(np.asarray(t), t_true, atol=1e-3)
+    res = generalized_epipolar_residual(r, t, jnp.asarray(o1),
+                                        jnp.asarray(d1), jnp.asarray(o2),
+                                        jnp.asarray(d2))
+    assert float(jnp.max(res)) < 1e-4
+
+
+def test_generalized_relative_pose_ransac():
+    from cvt_tpu.match.pose import ransac_generalized_relative_pose
+    rng = np.random.default_rng(5)
+    ang = 0.25
+    r_true = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+                      np.float32)
+    t_true = np.array([0.5, 0.2, -0.4], np.float32)
+    n = 80
+    x1 = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    x1[:, 2] += 6.0
+    cams = np.array([[0.4, 0, 0], [-0.4, 0.2, 0], [0, -0.3, 0.2]],
+                    np.float32)
+    o1 = cams[np.arange(n) % 3]
+    o2 = cams[(np.arange(n) + 1) % 3]
+    d1 = x1 - o1
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    x2 = x1 @ r_true.T + t_true
+    d2 = x2 - o2
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    # ~10% outliers: the 17+-point linear sample's regime (see the
+    # solver docstring; a 25% rate would need thousands of hypotheses)
+    d2n = d2.copy()
+    out = rng.choice(n, 8, replace=False)
+    d2n[out] = rng.normal(size=(8, 3)).astype(np.float32)
+    d2n /= np.linalg.norm(d2n, axis=-1, keepdims=True)
+    r, t, inl, n_inl = ransac_generalized_relative_pose(
+        jax.random.key(0), o1, d1, o2, d2n, threshold=1e-4,
+        n_hypotheses=256, sample_size=24)
+    assert int(n_inl) >= 65, int(n_inl)
+    assert np.abs(np.trace(np.asarray(r).T @ r_true)) > 2.99
+    np.testing.assert_allclose(np.asarray(t), t_true, atol=0.02)
