@@ -226,7 +226,15 @@ class MultiHostADCServer:
         mesh = self.mesh
         n = self._n
 
+        rotation = self.rotation
+
         def body(qr, codes_t_l, cbt_q, srow):
+            # rotation folded into the serving program: one dispatch per
+            # batch instead of rotate + scan (each dispatch costs ~25 ms
+            # through the axon tunnel)
+            if rotation is not None:
+                qr = jnp.matmul(qr, rotation,
+                                preferred_element_type=jnp.float32)
             shard = jax.lax.axis_index(axis)
             # rows beyond this shard's valid range (last shard's padding)
             # are masked to BIG inside the kernel via dynamic n_valid
@@ -262,7 +270,7 @@ class MultiHostADCServer:
         error); pad rows are sliced off the result."""
         if self._codes_t is None:
             raise RuntimeError("load() first")
-        qr = self._rotate(q)
+        qr = jnp.asarray(q, jnp.float32)      # raw space; body rotates
         b = qr.shape[0]
         bpad = b
         if self.dp_axis:
@@ -310,8 +318,12 @@ class MultiHostADCServer:
         interpret = self._interpret()
         n = self._n
         k_ = k
+        rotation = self.rotation
 
         def body(qs, codes_t_l, cbt_q, srow):
+            if rotation is not None:
+                qs = jnp.einsum("tbd,de->tbe", qs, rotation,
+                                preferred_element_type=jnp.float32)
             shard = jax.lax.axis_index(axis)
             start = shard * per
             n_valid_l = jnp.clip(n - start, 0, per)
@@ -339,17 +351,21 @@ class MultiHostADCServer:
             outs_i = jnp.concatenate([outs_i, fin_i[None]], axis=0)
             return outs_d, outs_i
 
-        rot = self._rotate(qs.reshape(t * b_mb, d_dim)).reshape(
-            t, b_mb, -1)
         qspec = P(None, self.dp_axis) if self.dp_axis else P()
         ospec = P(None, self.dp_axis) if self.dp_axis else P()
-        fn = jax.jit(jax.shard_map(
-            body, mesh=self.mesh,
-            in_specs=(qspec, P(None, axis), P(), P()),
-            out_specs=(ospec, ospec),
-            check_vma=False,
-        ))
-        rot = jax.device_put(rot, NamedSharding(self.mesh, qspec))
+        # one compiled executable per (T, B_mb, k) — rebuilding the jit
+        # every call paid a full recompile per serve (round-4 serve
+        # bench measured it at ~90x the steady-state cost)
+        ck = ("pipe", t, b_mb, k)
+        if ck not in self._serve_cache:
+            self._serve_cache[ck] = jax.jit(jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(qspec, P(None, axis), P(), P()),
+                out_specs=(ospec, ospec),
+                check_vma=False,
+            ))
+        fn = self._serve_cache[ck]
+        rot = jax.device_put(qs, NamedSharding(self.mesh, qspec))
         dd, ii = fn(rot, self._codes_t, self._cbt_q, self._srow)
         dd = dd.reshape(t * b_mb, k_)
         ii = ii.reshape(t * b_mb, k_)
