@@ -261,20 +261,29 @@ def main():
             gt_sq_parts.append(np.asarray(g))
         gt_sq = np.concatenate(gt_sq_parts)[:, 0]
         del exact_sq
-        _, ids_sq = sqi.search(q_sq_arr[:n_rec], K)
+        _, ids_sq = sqi.search_fast(q_sq_arr[:n_rec], K)
         r10_sq = recall_at_k(np.asarray(ids_sq), gt_sq, k=10)
         r1_sq = recall_at_k(np.asarray(ids_sq), gt_sq, k=1)
-        # chained QPS at the production batch
+        # chained QPS at the production batch (search_fast = the Pallas
+        # packed scan; big arrays as args, not closure constants)
         qsq_pool = np.tile(q_sq_arr, (-(-BATCH // len(q_sq_arr)), 1)
                            )[:BATCH]
         sq_stack = jnp.asarray(np.stack([qsq_pool] * 8), jnp.float32)
+        from cvt_tpu.ops.pallas.adc_scan import adc_search_cached
+        jax.block_until_ready(sqi.search_fast(q_sq_arr[:128], K))
+        b_vec = sqi.sq.bias + 128.0 * sqi.sq.scale
+        n_sq = sqi.ntotal
 
-        def one_sq(qb):
-            d_, i_ = sqi.search(qb, K)
+        def one_sq(qb, dec8_t, norm_col, srow_sq):
+            d_, i_ = adc_search_cached(qb - b_vec[None, :], dec8_t,
+                                       norm_col, srow_sq, K, n_sq)
             return d_[:, 0]
 
         from cvt_tpu.utils.profile import chained_time
-        dt_sq = chained_time(one_sq, sq_stack, launch_overhead_s=overhead)
+        dt_sq = chained_time(one_sq, sq_stack,
+                             consts=(sqi._dec8_t, sqi._norm_col,
+                                     sqi.sq.scale),
+                             launch_overhead_s=overhead)
         sq_out[d_sq] = {"qps": round(BATCH / dt_sq, 1),
                         "recall_at_1": round(r1_sq, 4),
                         "recall_at_10": round(r10_sq, 4)}
@@ -284,8 +293,10 @@ def main():
     # (VERDICT r3 item 6) at reduced N — parity measures the int8 engine
     # against the independent f32 LUT engine at identical codes, which
     # does not need the full 1M rows
+    # binomial noise at nq_sw=2048, r~0.5 is +-1.1 pt (1 sigma); spreads
+    # inside ~2 pt are sampling noise, not engine divergence
     parity_sweep = {}
-    n_sw, nq_sw = 262_144, 1024
+    n_sw, nq_sw = 262_144, 2048
     for di, dist in enumerate(("isotropic", "gmm", "correlated")):
         for seed in (0, 1):
             rs = np.random.default_rng(seed + 100 * di)

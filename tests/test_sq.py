@@ -124,3 +124,28 @@ def test_sq_save_load(tmp_path, sift_like):
     d2, i2 = idx2.search(qn, 5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+
+
+def test_flat_sq_search_fast_parity(rng):
+    """Pallas search_fast agrees with the bf16 exact-rank scan: same
+    top-1 and near-identical distance profiles."""
+    import jax
+    from cvt_tpu.index.flat_sq import FlatSQIndex
+    from cvt_tpu.ops.linalg import l2_normalize
+    from cvt_tpu.quant.sq import ScalarQuantizer
+    import jax.numpy as jnp
+    base = np.asarray(l2_normalize(jnp.asarray(
+        rng.normal(size=(6000, 64)).astype(np.float32))))
+    q = np.asarray(l2_normalize(jnp.asarray(
+        rng.normal(size=(64, 64)).astype(np.float32))))
+    sq = ScalarQuantizer.train(base, l2norm=False)
+    idx = FlatSQIndex(sq, chunk=2048)
+    idx.add(base)
+    d_ref, i_ref = idx.search(q, 10)
+    d_f, i_f = idx.search_fast(q, 10)
+    d_ref, d_f = np.asarray(d_ref), np.asarray(d_f)
+    top1 = (np.asarray(i_ref)[:, 0] == np.asarray(i_f)[:, 0]).mean()
+    assert top1 >= 0.95, top1
+    rel = np.abs(np.sort(d_f, 1) - np.sort(d_ref, 1)) / np.maximum(
+        np.sort(d_ref, 1), 1e-3)
+    assert np.median(rel) < 0.05, np.median(rel)
