@@ -296,7 +296,7 @@ def main():
     # binomial noise at nq_sw=2048, r~0.5 is +-1.1 pt (1 sigma); spreads
     # inside ~2 pt are sampling noise, not engine divergence
     parity_sweep = {}
-    n_sw, nq_sw = 262_144, 2048
+    n_sw, nq_sw = 131_072, 2048
     for di, dist in enumerate(("isotropic", "gmm", "correlated")):
         for seed in (0, 1):
             rs = np.random.default_rng(seed + 100 * di)
@@ -314,8 +314,8 @@ def main():
                 "correlated" else bs.astype(np.float32)
             b_sw, q_sw = bs[:n_sw], bs[n_sw:]
             opq_sw = OPQ.train(jax.random.key(seed), b_sw[:65536], m=M,
-                               k=KSUB, opq_iters=2, kmeans_iters=4,
-                               final_kmeans_iters=6)
+                               k=KSUB, opq_iters=2, kmeans_iters=3,
+                               final_kmeans_iters=4)
             idx_sw = FlatADCIndex(opq_sw)
             idx_sw.add(b_sw)
             idx_sw._materialize()
