@@ -76,8 +76,13 @@ def _blocked_argmin_chunk(xc, centroids, word_block):
         d = (x_sq - 2.0 * jnp.matmul(xc, cb.T,
                                      preferred_element_type=jnp.float32)
              + c_sq[None, :])                                     # [T, WB]
-        a = jnp.argmin(d, -1).astype(jnp.int32)
-        db = jnp.take_along_axis(d, a[:, None], -1)[:, 0]
+        # argmin WITHOUT a variadic reduction (argmin/top_k lower to
+        # slow generic reducers on TPU): min first, then recover the
+        # index by equality + int-min — three cheap lane reductions
+        db = jnp.min(d, -1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        a = jnp.min(jnp.where(d <= db[:, None], cols, jnp.int32(2**30)),
+                    -1)
         upd = db < bd
         return (jnp.where(upd, db, bd),
                 jnp.where(upd, a + off, bw)), None
