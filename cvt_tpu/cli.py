@@ -175,9 +175,13 @@ def _cmd_matcher(args, mode: str):
                 # (the reference ships a pretrained tree; zero-asset
                 # fallback mirrors its Build() path)
                 import jax
-                train = np.concatenate(
-                    [db.read_descriptors(i) for i in ids
-                     if db.read_descriptors(i) is not None])
+                descs = [d for d in (db.read_descriptors(i) for i in ids)
+                         if d is not None and len(d)]
+                if not descs:
+                    raise SystemExit(
+                        "vocab_tree_matcher: no descriptors in the "
+                        "database — run feature_extractor first")
+                train = np.concatenate(descs)
                 index = VocabHEIndex(n_words=min(args.num_words,
                                                  max(len(train) // 4, 16)))
                 index.train(jax.random.key(0),
@@ -354,6 +358,9 @@ def main(argv=None):
         g.add_argument("--min-matches", type=int, default=15)
         g.add_argument("--no-verify", action="store_true")
         g.add_argument("--guided", action="store_true")
+        g.add_argument("--transitive", action="store_true",
+                       help="add two-hop closure pairs over existing "
+                       "matches (TransitiveFeatureMatcher)")
 
     g = sub.add_parser("exhaustive_matcher")
     _matcher_common(g)

@@ -164,7 +164,10 @@ class FlatSQIndex:
         from cvt_tpu.ops.pallas.adc_scan import adc_search_cached
         q = jnp.asarray(q, jnp.float32)
         n = self.ntotal
-        if not hasattr(self, "_dec8_t") or self._dec8_t.shape[1] < n:
+        # rebuild when vectors were added since the cache was built (the
+        # padded capacity may still cover them, so compare the REAL count)
+        if getattr(self, "_dec8_n", -1) != n:
+            self._dec8_n = n
             tile = 1024
             npad = -(-n // tile) * tile
             # the packed kernel's integer margins assume |values| <= 127

@@ -423,7 +423,7 @@ class IVFADCIndex:
             q, self.centroids, self._pg_dec8_t, self._pg_dec16,
             self._pg_srow16, self._pg_nrm, self._pg_seg_cell,
             self._pg_rowids, self._pg_srow, self._pg_dsq_min, nprobe,
-            min(k, self._pg_seg), max_pages, lp=self._pg_lp,
+            k, max_pages, lp=self._pg_lp,
             seg=self._pg_seg, exact_probe=exact_probe,
             interpret=interpret)
 
@@ -463,6 +463,10 @@ class IVFADCIndex:
 
     # -- persistence ------------------------------------------------------
     def save(self, path: str) -> None:
+        if not hasattr(self, "_pg_dec8_t"):
+            raise RuntimeError(
+                "this index was loaded from a pre-page-layout file and "
+                "cannot be re-saved losslessly — rebuild with build()")
         np.savez(path,
                  centroids=np.asarray(self.centroids),
                  codebooks=np.asarray(self.pq.codebooks),

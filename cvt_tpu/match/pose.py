@@ -444,8 +444,13 @@ def ransac_gp3p(key, origins, directions, points, valid=None, *,
     inl = (res < threshold) & valid[None, :]
     support = jnp.where(ok, jnp.sum(inl, axis=-1), -1)
     best = jnp.argmax(support)
-    return (r[best], t[best], inl[best],
-            jnp.sum(inl[best]).astype(jnp.int32))
+    # no feasible hypothesis, or support below min_inliers: report ZERO
+    # inliers so callers can detect failure (the branch-scan fallback
+    # pose in r[best] would otherwise look like a valid result)
+    good = (support[best] >= 0) & (support[best] >= min_inliers)
+    inl_best = inl[best] & good
+    return (r[best], t[best], inl_best,
+            jnp.sum(inl_best).astype(jnp.int32))
 
 
 def similarity_transform(src, dst, weights=None):
@@ -578,5 +583,7 @@ def ransac_generalized_relative_pose(key, o1, d1, o2, d2, valid=None, *,
     inl = (res < threshold) & valid[None, :]
     support = jnp.sum(inl, axis=-1)
     best = jnp.argmax(support)
-    return (r[best], t[best], inl[best],
-            jnp.sum(inl[best]).astype(jnp.int32))
+    good = support[best] >= min_inliers    # failure -> zero inliers
+    inl_best = inl[best] & good
+    return (r[best], t[best], inl_best,
+            jnp.sum(inl_best).astype(jnp.int32))

@@ -118,6 +118,11 @@ def cluster_scene(image_ids, edges, weights, *, leaf_max_images: int = 100,
     idx1 = [i for i in range(n) if labels[i] == 1]
     if not idx0 or not idx1:                   # degenerate: no split
         return root
+    # overlap duplication must strictly SHRINK both children or the
+    # recursion never reaches the leaf base case (fixed point ~
+    # 2*image_overlap when image_overlap >= leaf_max_images/2)
+    if max(len(idx0), len(idx1)) + image_overlap >= n:
+        return root
     # cross-cut edges sorted by weight: duplicate endpoints as overlap
     over0, over1 = [], []
     if image_overlap > 0:

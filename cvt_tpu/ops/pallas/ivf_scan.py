@@ -26,8 +26,9 @@ TPU-native redesign ("union-probe scan"):
     probe get a marker correction that ranks them below every real
     candidate (so the union scan returns exactly the probed lists'
     top-k, not a batch-union superset).
-  * Selection reuses the flat kernel's packed (score, lane) integer
-    scheme and best-two-per-page tail (`adc_scan._select_tiletop`).
+  * Selection: the k+slack best SEGMENTS per query by packed minimum
+    are rescored whole in f32 from an int16 decode cache — exact
+    distances out, and no per-tile sidecar work in the kernel.
 
 Integer packing budget (key = (ip + norm_i + cip_i) * seg + lane):
   ip      in [-ipb, ipb],   ipb  = 127*127*D   (int8 matmul bound)
@@ -49,8 +50,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from cvt_tpu.ops.pallas.adc_scan import _select_tiletop
 
 BIG = 3.4e38
 
@@ -81,12 +80,14 @@ def _ivf_pack_caps(seg: int, d: int) -> tuple[int, int]:
 
 
 def _ivf_page_kernel(sel_ref, qs_ref, dec_ref, nrm_ref, cip_ref, q2_ref,
-                     segpack_ref, tiletop_ref, *, lp, seg, b_sub, d):
+                     segpack_ref, *, lp, seg, b_sub, d):
     """Score one selected page [D, Lp] against the query batch.
 
-    Mirrors adc_scan._adc_segmin_cached_kernel, plus the per-segment
-    coarse-term row cip_ref [spt, B] (f32; BIG = masked/unprobed) and
-    norm markers carried in nrm_ref (f32; BIG = pad row).
+    Mirrors adc_scan._adc_segmin_cached_kernel's scoring, plus the
+    per-segment coarse-term row cip_ref [spt, B] (f32; BIG = masked/
+    unprobed) and norm markers carried in nrm_ref (f32; BIG = pad row).
+    Emits packed segment minima only — phase 2 reselects and rescores
+    whole segments, so no per-tile best-two sidecar is needed.
     """
     spt = lp // seg
     b = q2_ref.shape[0]
@@ -108,8 +109,6 @@ def _ivf_page_kernel(sel_ref, qs_ref, dec_ref, nrm_ref, cip_ref, q2_ref,
                      jnp.float32(marker)).astype(jnp.int32)    # [spt, B]
     cip_sh = jax.lax.shift_left(cip_i, seg_bits)
 
-    rows_spt = jax.lax.broadcasted_iota(jnp.int32, (spt, b_sub), 0)
-    _imax = 2_147_000_000
     for bs in range(b // b_sub):
         ip = jax.lax.dot_general(
             dec, q2_ref[bs * b_sub:(bs + 1) * b_sub, :],
@@ -119,30 +118,14 @@ def _ivf_page_kernel(sel_ref, qs_ref, dec_ref, nrm_ref, cip_ref, q2_ref,
         pk = jax.lax.shift_left(ip, seg_bits) + base_col
         p3 = pk.reshape(spt, seg, b_sub)     # sublane split: layout-free
         p3 = p3 + cip_sh[:, None, bs * b_sub:(bs + 1) * b_sub]
-        pmins = jnp.min(p3, axis=1)                       # [spt, b_sub]
-        segpack_ref[:, bs * b_sub:(bs + 1) * b_sub] = pmins
-        m1 = jnp.min(pmins, axis=0)
-        sel1 = pmins == m1[None, :]
-        r1 = jnp.min(jnp.where(sel1, rows_spt, spt), axis=0)
-        masked = jnp.where(sel1, _imax, pmins)
-        m2 = jnp.min(masked, axis=0)
-        r2 = jnp.min(jnp.where(masked == m2[None, :], rows_spt, spt),
-                     axis=0)
-        lane1 = jax.lax.bitwise_and(m1, seg - 1)
-        lane2 = jax.lax.bitwise_and(m2, seg - 1)
-        sl = slice(bs * b_sub, (bs + 1) * b_sub)
-        tiletop_ref[0, 0, sl] = m1
-        tiletop_ref[0, 1, sl] = m2
-        tiletop_ref[0, 2, sl] = jax.lax.shift_left(r1, seg_bits) + lane1
-        tiletop_ref[0, 3, sl] = jax.lax.shift_left(r2, seg_bits) + lane2
+        segpack_ref[:, bs * b_sub:(bs + 1) * b_sub] = jnp.min(p3, axis=1)
 
 
 @functools.partial(
     jax.jit, static_argnames=("lp", "seg", "interpret"))
 def _ivf_pages_segmin(q2s, qs, dec8_t, nrm_col, cip, sel, lp, seg,
                       interpret):
-    """Phase 1 over the selected pages -> (segpack [S*spt, B],
-    tiletop [S, 8, B])."""
+    """Phase 1 over the selected pages -> segpack [S*spt, B]."""
     b, d = q2s.shape
     s = sel.shape[0]
     spt = lp // seg
@@ -165,23 +148,15 @@ def _ivf_pages_segmin(q2s, qs, dec8_t, nrm_col, cip, sel, lp, seg,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((spt, b), lambda i, sel_ref: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, b), lambda i, sel_ref: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((spt, b), lambda i, sel_ref: (i, 0),
+                               memory_space=pltpu.VMEM),
     )
-    segpack, tiletop = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((s * spt, b), jnp.int32),
-            jax.ShapeDtypeStruct((s, 8, b), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((s * spt, b), jnp.int32),
         interpret=interpret,
     )(sel, qsa, dec8_t, nrm_col, cip, q2s)
-    return segpack, tiletop
 
 
 @functools.partial(
@@ -190,7 +165,7 @@ def _ivf_pages_segmin(q2s, qs, dec8_t, nrm_col, cip, sel, lp, seg,
                      "slack", "interpret"))
 def ivf_union_search(q, centroids, dec8_t, dec16_rm, srow16, nrm_col,
                      seg_cell, rowids, srow, dsq_min, nprobe, k, max_pages,
-                     lp=512, seg=64, exact_probe=True, slack=6,
+                     lp=512, seg=32, exact_probe=True, slack=6,
                      interpret=False):
     """Batched IVF-ADC top-k via the union-probe page scan.
 
@@ -255,16 +230,19 @@ def ivf_union_search(q, centroids, dec8_t, dec16_rm, srow16, nrm_col,
     cipz = jnp.where(dead[:, None], BIG, cipz)
 
     # ---- query fold with marker-safe qs clamps --------------------------
+    # the clamps must reach _fold_queries BEFORE q2s is quantized: raising
+    # qs afterwards would leave ip in score/qs_old units while norm_i and
+    # cip_i use qs_new — mixed units corrupt the packed ranking exactly in
+    # the regime the clamps defend against
     from cvt_tpu.ops.pallas.adc_scan import _fold_queries
     max_nrm = jnp.max(jnp.where(nrm_col < BIG / 2, nrm_col, 0.0))
     max_cip = jnp.max(jnp.where(cipz < BIG / 2, cipz, 0.0))
-    q2s, qs = _fold_queries(q, srow)
-    qs = jnp.maximum(qs, max_nrm / nvcap)
-    qs = jnp.maximum(qs, max_cip / (127 * 127 * d))
+    qs_min = jnp.maximum(max_nrm / nvcap, max_cip / (127 * 127 * d))
+    q2s, qs = _fold_queries(q, srow, qs_min, 1)
 
-    segpack, _ = _ivf_pages_segmin(q2s, qs, dec8_t, nrm_col, cipz,
-                                   sel.astype(jnp.int32), lp, seg,
-                                   interpret)
+    segpack = _ivf_pages_segmin(q2s, qs, dec8_t, nrm_col, cipz,
+                                sel.astype(jnp.int32), lp, seg,
+                                interpret)
 
     # ---- phase 2: exact f32 rescore of the winning segments -------------
     n_take = min(k + slack, segpack.shape[0])
@@ -302,12 +280,18 @@ def ivf_union_search(q, centroids, dec8_t, dec16_rm, srow16, nrm_col,
     if exact_probe:
         okc &= jnp.any(cells_c[:, :, None] == probes[:, None, :], axis=-1)
     dist = jnp.where(okc, dist, jnp.inf)
-    neg, j = jax.lax.top_k(-dist, k)
+    k_eff = min(k, dist.shape[1])      # tiny index: pool may be < k
+    neg, j = jax.lax.top_k(-dist, k_eff)
     ids = jnp.take_along_axis(vec_ids, j, axis=-1)
     out_d = -neg
     ok = jnp.isfinite(out_d)
-    return (jnp.where(ok, out_d, jnp.inf),
-            jnp.where(ok, ids, -1), n_dropped)
+    out_d = jnp.where(ok, out_d, jnp.inf)
+    ids = jnp.where(ok, ids, -1)
+    if k_eff < k:                      # honor the [B, k] contract
+        pad = ((0, 0), (0, k - k_eff))
+        out_d = jnp.pad(out_d, pad, constant_values=jnp.inf)
+        ids = jnp.pad(ids, pad, constant_values=-1)
+    return out_d, ids, n_dropped
 
 
 def build_page_layout(codes, assign, dsq, codebooks, *, lp: int = 512,
