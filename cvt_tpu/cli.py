@@ -166,6 +166,8 @@ def _cmd_matcher(args, mode: str):
             pairs = pl.spatial_pairs(
                 ids, pos, max_num_neighbors=args.max_neighbors,
                 max_distance=args.max_distance)
+        elif mode == "image_pairs":
+            pairs = pl.pairs_from_file(db, args.pair_list)
         elif mode == "vocab_tree":
             from cvt_tpu.index import VocabHEIndex
             if args.vocab_index:
@@ -197,6 +199,22 @@ def _cmd_matcher(args, mode: str):
             verify=not args.no_verify, guided=args.guided)
     print(json.dumps({
         "mode": mode, "n_pairs": stats.n_pairs,
+        "n_matched": stats.n_matched, "n_verified": stats.n_verified,
+        "n_skipped": stats.n_skipped, "configs": stats.configs}))
+
+
+def _cmd_matches_importer(args):
+    """Import explicit feature matches (FeaturePairsFeatureMatcher,
+    matching.cc:1569-1660)."""
+    from cvt_tpu.io.database import FeatureDatabase
+    from cvt_tpu.match import pipelines as pl
+
+    with FeatureDatabase(args.database) as db:
+        stats = pl.import_feature_matches(
+            db, args.match_list, verify=not args.no_verify,
+            min_num_matches=args.min_matches)
+    print(json.dumps({
+        "mode": "feature_pairs", "n_pairs": stats.n_pairs,
         "n_matched": stats.n_matched, "n_verified": stats.n_verified,
         "n_skipped": stats.n_skipped, "configs": stats.configs}))
 
@@ -389,6 +407,24 @@ def main(argv=None):
     g.add_argument("--num-words", type=int, default=4096)
     g.add_argument("--num-images", type=int, default=20)
     g.set_defaults(fn=lambda a: _cmd_matcher(a, "vocab_tree"))
+
+    g = sub.add_parser("image_pairs_matcher")
+    _matcher_common(g)
+    g.add_argument("--pair-list", required=True,
+                   help="text file: one 'name1 name2' pair per line "
+                   "(ImagePairsFeatureMatcher)")
+    g.set_defaults(fn=lambda a: _cmd_matcher(a, "image_pairs"))
+
+    g = sub.add_parser("matches_importer")
+    g.add_argument("--database", required=True)
+    g.add_argument("--match-list", required=True,
+                   help="blocks: 'name1 name2' header + 'idx1 idx2' rows "
+                   "(FeaturePairsFeatureMatcher format)")
+    g.add_argument("--no-verify", action="store_true",
+                   help="trust the rows as inliers (skip geometric "
+                   "verification)")
+    g.add_argument("--min-matches", type=int, default=15)
+    g.set_defaults(fn=_cmd_matches_importer)
 
     g = sub.add_parser("retrieve")
     g.add_argument("--db", required=True, help="features .npz from "

@@ -6,7 +6,9 @@ from cvt_tpu.match.svf import svf_inliers
 from cvt_tpu.match.solvers import (
     fit_affine, fit_homography_dlt, apply_affine, apply_homography)
 from cvt_tpu.match.ransac import (ransac, ransac_preemptive, RansacResult,
-                                  progressive_minimal_samples)
+                                  progressive_minimal_samples,
+                                  combination_minimal_samples, n_combinations)
+from cvt_tpu.match.lad import solve_lad, LADResult
 from cvt_tpu.match.vote_verify import vote_and_verify
 from cvt_tpu.match.epipolar import (
     fit_fundamental_8pt, fit_fundamental_7pt, fit_essential_5pt,
@@ -46,4 +48,6 @@ __all__ = [
     "fit_generalized_relative_pose", "ransac_generalized_relative_pose",
     "progressive_minimal_samples", "SceneCluster", "cluster_scene",
     "min_st_cut", "normalized_cut", "VisibilityPyramid",
+    "combination_minimal_samples", "n_combinations", "solve_lad",
+    "LADResult",
 ]

@@ -149,6 +149,104 @@ def transitive_pairs(db: FeatureDatabase,
     return sorted(new_pairs)
 
 
+def pairs_from_file(db: FeatureDatabase, path: str) -> list[tuple[int, int]]:
+    """Explicit image-pair list (ImagePairsFeatureMatcher,
+    matching.cc:1454-1466): one pair per line, two image names (or
+    numeric ids) separated by whitespace; unknown names are skipped."""
+    pairs: list[tuple[int, int]] = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            ids = []
+            for token in parts[:2]:
+                iid = db.image_id(token)
+                if iid is None and token.isdigit():
+                    iid = (int(token)
+                           if db.image_name(int(token)) is not None else None)
+                ids.append(iid)
+            if ids[0] is None or ids[1] is None or ids[0] == ids[1]:
+                continue
+            pairs.append((min(ids), max(ids)))
+    return pairs
+
+
+def import_feature_matches(db: FeatureDatabase, path: str, *,
+                           verify: bool = True, min_num_matches: int = 15,
+                           max_error: float = 4.0,
+                           seed: int = 0) -> MatchPipelineStats:
+    """Import explicit per-pair feature matches
+    (FeaturePairsFeatureMatcher, matching.cc:1569-1660). File format =
+    the reference's: blocks of
+
+        image_name1 image_name2
+        idx1 idx2
+        idx1 idx2
+        <blank line>
+
+    verify=True stores the rows as raw matches and estimates the
+    two-view geometry from them (the reference's verify_matches path);
+    verify=False trusts them as inliers and stores them directly as the
+    pair's two-view matches. Pairs already matched are skipped.
+    """
+    stats = MatchPipelineStats()
+    key = jax.random.PRNGKey(seed)
+    with open(path) as f:
+        lines = [ln.strip() for ln in f] + [""]
+    i = 0
+    while i < len(lines):
+        if not lines[i]:
+            i += 1
+            continue
+        parts = lines[i].split()
+        i += 1
+        rows = []
+        while i < len(lines) and lines[i]:
+            r = lines[i].split()
+            rows.append((int(r[0]), int(r[1])))
+            i += 1
+        if len(parts) < 2:
+            continue
+        a, b = db.image_id(parts[0]), db.image_id(parts[1])
+        if a is None or b is None:
+            continue
+        a, b = min(a, b), max(a, b)
+        stats.n_pairs += 1
+        if db.has_matches(a, b):
+            stats.n_skipped += 1
+            continue
+        matches = (np.asarray(rows, np.int32).reshape(-1, 2)
+                   if rows else np.zeros((0, 2), np.int32))
+        db.write_matches(a, b, matches)
+        if len(matches) >= min_num_matches:
+            stats.n_matched += 1
+        if not verify:
+            # trusted-inlier import: store as the pair's two-view
+            # matches without a model (CONFIG undefined in the ref)
+            db.write_two_view_geometry(a, b, matches, config=0, model=None)
+            continue
+        kpa, kpb = db.read_keypoints(a), db.read_keypoints(b)
+        if kpa is None or kpb is None or len(matches) < min_num_matches:
+            continue
+        key, sub = jax.random.split(key)
+        geom = estimate_two_view_geometry(
+            sub, np.asarray(kpa)[matches[:, 0], :2],
+            np.asarray(kpb)[matches[:, 1], :2],
+            f_threshold=max_error, min_inliers=min_num_matches)
+        inl = np.nonzero(geom.inliers)[0]
+        model = geom.h if geom.h is not None else geom.f
+        db.write_two_view_geometry(
+            a, b, matches[inl], config=geom.config,
+            model=None if model is None else model.reshape(-1))
+        stats.configs[geom.config_name] = (
+            stats.configs.get(geom.config_name, 0) + 1)
+        if geom.config_name != "degenerate":
+            stats.n_verified += 1
+    db.commit()
+    return stats
+
+
 # ---------------------------------------------------------------------------
 # match pipeline
 # ---------------------------------------------------------------------------

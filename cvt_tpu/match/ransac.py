@@ -17,8 +17,12 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import itertools
+import math
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cvt_tpu.match.solvers import (
     apply_affine, apply_homography, apply_similarity2d, apply_translation,
@@ -73,6 +77,31 @@ def progressive_minimal_samples(key, n_hypotheses: int, mn: int, valid,
     return picks
 
 
+def combination_minimal_samples(n_hypotheses: int, mn: int, n: int):
+    """Deterministic exhaustive combination enumeration (reference:
+    optim/combination_sampler.cc): hypothesis j gets the j-th
+    lexicographic mn-combination of [0, n), wrapping around once all
+    C(n, mn) combinations are exhausted — the reference resets its
+    iota state the same way (combination_sampler.cc:64-68). With
+    n_hypotheses >= C(n, mn) this makes RANSAC exhaustive and
+    deterministic on small problems. Shape-only (no data dependence):
+    computed host-side and baked as a constant under jit."""
+    out = np.empty((n_hypotheses, mn), np.int32)
+    it = itertools.combinations(range(n), mn)
+    for j in range(n_hypotheses):
+        c = next(it, None)
+        if c is None:
+            it = itertools.combinations(range(n), mn)
+            c = next(it)
+        out[j] = c
+    return jnp.asarray(out)
+
+
+def n_combinations(n: int, mn: int) -> int:
+    """MaxNumSamples of the combination sampler (NChooseK)."""
+    return math.comb(n, mn)
+
+
 class RansacResult(NamedTuple):
     model: jax.Array       # [2, 3] affine or [3, 3] homography
     inliers: jax.Array     # [N] bool
@@ -81,15 +110,20 @@ class RansacResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("model", "n_hypotheses", "lo_iters",
-                                   "min_inliers"))
+                                   "min_inliers", "sampler"))
 def ransac(key, src, dst, valid=None, *, model: str = "affine",
            threshold: float = 4.0, n_hypotheses: int = 256,
            lo_iters: int = 2, min_inliers: int = 6,
-           scores=None) -> RansacResult:
+           scores=None, sampler: str = "auto") -> RansacResult:
     """src/dst [N, 2] matched points, valid [N] mask; threshold in pixels.
 
     scores (optional [N], higher = more confident) switches sampling to
     the PROSAC-style progressive sampler (progressive_sampler.cc).
+    sampler="combination" enumerates minimal sets deterministically in
+    lexicographic order (combination_sampler.cc) — exhaustive when
+    n_hypotheses >= n_combinations(N, min_n); like the reference it
+    ignores scores and the valid mask when sampling (invalid rows still
+    never count as inliers).
     Returns the best model by inlier count and its inlier mask.
     """
     spec = _MODELS[model]
@@ -101,9 +135,12 @@ def ransac(key, src, dst, valid=None, *, model: str = "affine",
     mn = spec["min_n"]
     t2 = threshold * threshold
 
-    # ---- sample S minimal sets (uniform-over-valid, or progressive) ----
-    picks = progressive_minimal_samples(key, n_hypotheses, mn, valid,
-                                        scores)              # [S, mn]
+    # ---- sample S minimal sets (uniform, progressive, or exhaustive) ---
+    if sampler == "combination":
+        picks = combination_minimal_samples(n_hypotheses, mn, n)
+    else:
+        picks = progressive_minimal_samples(key, n_hypotheses, mn, valid,
+                                            scores)          # [S, mn]
     s_src = src[picks]                                       # [S, mn, 2]
     s_dst = dst[picks]
 
