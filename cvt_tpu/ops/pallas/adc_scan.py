@@ -312,7 +312,8 @@ def _fold_queries(q, srow, norm_cap=None, vcap: int | None = None):
     return q2s, qs
 
 
-def _select_tiletop(segpack, tiletop, qs, q_sq, b, k, tile_n, seg):
+def _select_tiletop(segpack, tiletop, qs, q_sq, b, k, tile_n, seg,
+                    n_valid=None):
     """Shared selection tail: packed tile-top2 candidates -> (dist, ids).
 
     Ranks via f32 keys (int32 top_k lowers to a generic sort ~10x
@@ -321,7 +322,14 @@ def _select_tiletop(segpack, tiletop, qs, q_sq, b, k, tile_n, seg):
     sidecar, so nothing is ever unpacked from the big arrays."""
     n_tiles = tiletop.shape[0]
     spt = tile_n // seg
-    if 2 * n_tiles < k or spt < 2:
+    # only tiles overlapping real rows can contribute candidates: a
+    # database padded far beyond n_valid (e.g. 4k rows in a 16k pad)
+    # must fall back to segment-minima selection or the top-2-per-tile
+    # cap truncates the candidate pool below k and padding sentinels
+    # leak into the tail of the results
+    real_tiles = (n_tiles if n_valid is None
+                  else min(n_tiles, -(-int(n_valid) // tile_n)))
+    if 2 * real_tiles < k or spt < 2:
         # tiny database: flat selection over all packed segment minima
         neg, j = jax.lax.top_k(-segpack.T[:b], min(k, segpack.shape[0]))
         packed = -neg
@@ -367,7 +375,8 @@ def _adc_search_fast(q, codes_t, cbt_q, srow, k, n_valid, tile_n, seg,
     s2 = (srow * srow)[:, None]
     segpack, tiletop = _adc_segmin(q2s, qs, codes_t, cbt_q, s2, n_valid,
                                    tile_n, seg, group, interpret)
-    return _select_tiletop(segpack, tiletop, qs, q_sq, b, k, tile_n, seg)
+    return _select_tiletop(segpack, tiletop, qs, q_sq, b, k, tile_n, seg,
+                           n_valid)
 
 
 @functools.partial(
@@ -416,7 +425,10 @@ def adc_search(q, q_sq, codes, dec_sq, codebooks, k, n_valid, *,
         codes_t = (jnp.pad(ct, ((0, mpad - m), (0, 0))) if mpad != m else ct)
     npad = codes_t.shape[1]
     if tile_n is None:
-        tile_n = 1024
+        # measured on v5e at N=1M/B=8192: tile 2048 is ~12% faster than
+        # 1024 (13.5 vs 15.1 ms/batch) with bit-identical results; 4096
+        # regresses to 1024's speed. Fall back when npad isn't divisible.
+        tile_n = 2048 if npad % 2048 == 0 else 1024
     if npad % tile_n:
         raise ValueError(f"npad {npad} must be a multiple of {tile_n}")
     if k > seg:
@@ -538,7 +550,7 @@ def _adc_segmin_cached(q2s, qs, dec8_t, norm_col, n_valid, tile_n, seg,
     jax.jit, static_argnames=("k", "n_valid", "tile_n", "seg",
                               "interpret"))
 def adc_search_cached(q, dec8_t, norm_col, srow, k, n_valid,
-                      tile_n: int = 1024, seg: int = 128,
+                      tile_n: int | None = None, seg: int = 128,
                       interpret: bool = False):
     """Fast search over the int8 decoded cache (decode-free scan).
 
@@ -548,13 +560,23 @@ def adc_search_cached(q, dec8_t, norm_col, srow, k, n_valid,
     quantized-space row norms; srow the per-dim dequant scales.
     """
     b = q.shape[0]
+    npad = dec8_t.shape[1]
+    if tile_n is None:
+        # measured on v5e at N=1M/B=8192 through the decoded cache:
+        # tile 4096 runs at 880k QPS while 1024/2048 fall off a Mosaic
+        # performance cliff (~7k QPS) for the [D=128, T] int8 operand —
+        # the wide decoded tile needs the larger block to schedule the
+        # int8 matmul on the MXU. 8192 exceeds VMEM.
+        tile_n = 4096 if npad % 4096 == 0 else (
+            2048 if npad % 2048 == 0 else 1024)
     q_sq = jnp.sum(jnp.square(q), axis=-1)
     # the cached path has the norms in hand: clamp qs below max(norm)/vcap
     vcap, _ = _pack_caps(seg, dec8_t.shape[0])
     q2s, qs = _fold_queries(q, srow, jnp.max(norm_col), vcap)
     segpack, tiletop = _adc_segmin_cached(q2s, qs, dec8_t, norm_col,
                                           n_valid, tile_n, seg, interpret)
-    return _select_tiletop(segpack, tiletop, qs, q_sq, b, k, tile_n, seg)
+    return _select_tiletop(segpack, tiletop, qs, q_sq, b, k, tile_n, seg,
+                           n_valid)
 
 
 def _group_codebooks(codebooks) -> tuple[jax.Array, jax.Array, int]:
