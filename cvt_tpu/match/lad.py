@@ -77,9 +77,13 @@ def solve_lad(A, b, x0=None, *, rho: float = 1.0, alpha: float = 1.0,
         # dual s = -rho * A^T (z - z_old)
         r_norm = jnp.linalg.norm(Ax - z_new - b)
         s_norm = jnp.linalg.norm(-rho * (A.T @ (z_new - z_old)))
+        # eps_pri uses max(||Ax||, ||z||, ||b||) — the reference
+        # (least_absolute_deviations.cc / lad.m) includes ||b||
         eps_pri = (jnp.sqrt(float(n)) * absolute_tolerance
                    + relative_tolerance * jnp.maximum(
-                       jnp.linalg.norm(Ax), jnp.linalg.norm(z_new)))
+                       jnp.maximum(jnp.linalg.norm(Ax),
+                                   jnp.linalg.norm(z_new)),
+                       jnp.linalg.norm(b)))
         eps_dual = (jnp.sqrt(float(d)) * absolute_tolerance
                     + relative_tolerance * jnp.linalg.norm(rho * (A.T @ u_new)))
         done = (r_norm < eps_pri) & (s_norm < eps_dual)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from cvt_tpu.io.database import FeatureDatabase
 from cvt_tpu.match.nn import match_descriptors
-from cvt_tpu.match.two_view import estimate_two_view_geometry
+from cvt_tpu.match.two_view import UNCALIBRATED, estimate_two_view_geometry
 
 # ---------------------------------------------------------------------------
 # pair generation
@@ -208,10 +208,13 @@ def import_feature_matches(db: FeatureDatabase, path: str, *,
             i += 1
         if len(parts) < 2:
             continue
+        # keep the file's (name1, name2) order: rows are
+        # (idx-in-name1, idx-in-name2) and the database canonicalizes
+        # the column order itself (matching.cc FeaturePairsFeatureMatcher
+        # passes the original id order for the same reason)
         a, b = db.image_id(parts[0]), db.image_id(parts[1])
         if a is None or b is None:
             continue
-        a, b = min(a, b), max(a, b)
         stats.n_pairs += 1
         if db.has_matches(a, b):
             stats.n_skipped += 1
@@ -222,9 +225,11 @@ def import_feature_matches(db: FeatureDatabase, path: str, *,
         if len(matches) >= min_num_matches:
             stats.n_matched += 1
         if not verify:
-            # trusted-inlier import: store as the pair's two-view
-            # matches without a model (CONFIG undefined in the ref)
-            db.write_two_view_geometry(a, b, matches, config=0, model=None)
+            # trusted-inlier import: the reference stores these as
+            # UNCALIBRATED (no prior focal length) in this branch
+            # (matching.cc FeaturePairsFeatureMatcher), never UNDEFINED
+            db.write_two_view_geometry(a, b, matches,
+                                       config=UNCALIBRATED, model=None)
             continue
         kpa, kpb = db.read_keypoints(a), db.read_keypoints(b)
         if kpa is None or kpb is None or len(matches) < min_num_matches:

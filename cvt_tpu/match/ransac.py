@@ -85,8 +85,16 @@ def combination_minimal_samples(n_hypotheses: int, mn: int, n: int):
     iota state the same way (combination_sampler.cc:64-68). With
     n_hypotheses >= C(n, mn) this makes RANSAC exhaustive and
     deterministic on small problems. Shape-only (no data dependence):
-    computed host-side and baked as a constant under jit."""
+    computed host-side and baked as a constant under jit.
+
+    With n < mn there are no valid combinations (C(n, mn) = 0): picks
+    degenerate to repeated indices so the solver sees a rank-deficient
+    sample and ransac reports success=False instead of crashing — the
+    same graceful failure the uniform sampler gives."""
     out = np.empty((n_hypotheses, mn), np.int32)
+    if n < mn:
+        out[:] = np.arange(mn, dtype=np.int32) % max(n, 1)
+        return jnp.asarray(out)
     it = itertools.combinations(range(n), mn)
     for j in range(n_hypotheses):
         c = next(it, None)

@@ -567,8 +567,17 @@ def adc_search_cached(q, dec8_t, norm_col, srow, k, n_valid,
         # performance cliff (~7k QPS) for the [D=128, T] int8 operand —
         # the wide decoded tile needs the larger block to schedule the
         # int8 matmul on the MXU. 8192 exceeds VMEM.
-        tile_n = 4096 if npad % 4096 == 0 else (
-            2048 if npad % 2048 == 0 else 1024)
+        #
+        # Accuracy tradeoff: each tile emits its top-2 candidates, so the
+        # chance the true winner set concentrates >2 hits in one tile
+        # scales ~(tile_n/N)^2. On small databases the big tile is both
+        # unnecessary (the scan is cheap anyway) and 16x riskier than
+        # 1024, so keep the tile at most npad/64 when that is possible —
+        # callers chasing peak QPS on small N can still pass tile_n=4096.
+        choices = [t for t in (4096, 2048, 1024) if npad % t == 0]
+        fitting = [t for t in choices if t * 64 <= npad]
+        tile_n = fitting[0] if fitting else (
+            choices[-1] if choices else 1024)
     q_sq = jnp.sum(jnp.square(q), axis=-1)
     # the cached path has the norms in hand: clamp qs below max(norm)/vcap
     vcap, _ = _pack_caps(seg, dec8_t.shape[0])

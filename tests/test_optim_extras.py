@@ -129,6 +129,7 @@ def test_import_feature_matches_verify(db_with_features, tmp_path):
 
 def test_import_feature_matches_trusted(db_with_features, tmp_path):
     from cvt_tpu.match import pipelines as pl
+    from cvt_tpu.match.two_view import UNCALIBRATED
     db, ids = db_with_features
     mfile = tmp_path / "m2.txt"
     mfile.write_text("a.jpg c.jpg\n0 0\n1 1\n2 2\n")
@@ -137,3 +138,26 @@ def test_import_feature_matches_trusted(db_with_features, tmp_path):
     assert stats.n_pairs == 1
     tv = db.read_two_view_geometry(ids["a.jpg"], ids["c.jpg"])
     assert tv is not None and len(tv[0]) == 3
+    # trusted imports store UNCALIBRATED (reference's no-prior-focal
+    # default), never config 0 which downstream consumers would drop
+    assert tv[1] == UNCALIBRATED
+
+
+def test_import_feature_matches_higher_id_first(db_with_features, tmp_path):
+    """File lists the higher-id image first: columns must stay
+    (idx-in-name1, idx-in-name2) — the db canonicalizes, the importer
+    must NOT pre-swap the ids without swapping the columns."""
+    from cvt_tpu.match import pipelines as pl
+    db, ids = db_with_features
+    assert ids["c.jpg"] > ids["a.jpg"]
+    # asymmetric correspondence: idx-in-c = i, idx-in-a = 59 - i
+    rows = "\n".join(f"{i} {59 - i}" for i in range(60))
+    mfile = tmp_path / "m3.txt"
+    mfile.write_text(f"c.jpg a.jpg\n{rows}\n")
+    pl.import_feature_matches(db, str(mfile), verify=False,
+                              min_num_matches=2)
+    m = db.read_matches(ids["c.jpg"], ids["a.jpg"])
+    assert m is not None and len(m) == 60
+    m = m[np.argsort(m[:, 0])]
+    np.testing.assert_array_equal(m[:, 0], np.arange(60))
+    np.testing.assert_array_equal(m[:, 1], 59 - np.arange(60))
