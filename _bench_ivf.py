@@ -1,7 +1,7 @@
 """IVF-ADC vs flat-scan benchmark — consistent methodology + crossover.
 
 VERDICT r3 item 2: round 3's BENCH_IVF mixed methodologies (host-loop
-dispatches for flat, including ~25 ms tunnel launch overhead per batch,
+dispatches for flat, including ~25 ms remote-launch overhead per batch,
 vs bench.py's device-chained scans) and never demonstrated the claimed
 flat/IVF crossover. This bench measures EVERYTHING device-chained
 (cvt_tpu.utils.profile.chained_time) at the same batch size, at N=1M
@@ -9,7 +9,7 @@ and N=10M (codes are 16 bytes/vec at the reference operating point
 coarseK=8192, m=16, k=256 — IVFOPQ.cpp:56-63), and reports the
 crossover. Writes BENCH_IVF.md.
 
-Data is generated ON DEVICE in chunks (the host tunnel at ~50 MB/s
+Data is generated ON DEVICE in chunks (a slow host link at ~50 MB/s
 cannot stage 5 GB of floats; the reference's own harness reads
 pre-encoded models for the same reason).
 """
@@ -116,7 +116,7 @@ for N in N_LIST:
         [queries[sr.integers(0, 8192 - B)::1][:B] for _ in range(32)]))
 
     # big arrays ride as explicit args (closure constants 413 the
-    # tunnel's remote-compile at this scale)
+    # remote-compile path at this scale)
     from cvt_tpu.ops.pallas.adc_scan import adc_search
     from cvt_tpu.ops.pallas.ivf_scan import ivf_union_search
     jax.block_until_ready(flat.search(queries[:B], K))   # warm layout

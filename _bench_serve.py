@@ -32,7 +32,7 @@ t_enc = time.time() - t0
 srv.load(codes=codes)
 print(f"encoded+loaded {N:,} codes in {t_enc:.1f}s")
 
-# ---- serve-path QPS (host dispatch loop, includes tunnel overhead) ----
+# ---- serve-path QPS (host dispatch loop, includes dispatch overhead) ----
 d, i = srv.serve(queries, K)                      # compile
 jax.block_until_ready((d, i))
 t0 = time.time()
@@ -44,7 +44,7 @@ t_serve = (time.time() - t0) / reps
 qps_serve = B / t_serve
 
 # ---- serve() with DEVICE-RESIDENT queries: isolates the serving
-# machinery (shard_map + merge + dispatch) from the axon tunnel's
+# machinery (shard_map + merge + dispatch) from a remote-dispatch backend's
 # ~50 MB/s host link (a real TPU host feeds queries over PCIe) --------
 from jax.sharding import NamedSharding, PartitionSpec as P
 q_dev = jax.device_put(jnp.asarray(queries),
@@ -62,7 +62,7 @@ qps_serve_dev = B / t_serve_dev
 
 # ---- the serving PROGRAM, device-chained: the cost of the shard_map
 # serve step itself (rotate + per-shard Pallas scan + merge), free of
-# tunnel round-trips — the steady-state number for a real deployment --
+# dispatch round-trips — the steady-state number for a real deployment --
 serve_fn = srv._serve_cache[(K, B)]
 
 
@@ -116,14 +116,14 @@ report = f"""# BENCH_SERVE — serving tax on the real chip (round 4)
 |---|---|---|---|
 | raw fused kernel (device-chained) | {t_kernel * 1e3:.1f} ms | {qps_kernel:,.0f} | bench.py methodology |
 | serving program (device-chained) | {t_prog * 1e3:.1f} ms | {qps_prog:,.0f} | rotate + shard_map scan + merge |
-| serve(), device-resident queries | {t_serve_dev * 1e3:.1f} ms | {qps_serve_dev:,.0f} | + tunnel dispatch/fetch round trip |
+| serve(), device-resident queries | {t_serve_dev * 1e3:.1f} ms | {qps_serve_dev:,.0f} | + host dispatch/fetch round trip |
 | serve(), host queries | {t_serve * 1e3:.1f} ms | {qps_serve:,.0f} | + 4 MB/batch query staging |
 | serve_pipelined (ring, 8 micro-batches) | {t_pipe * 1e3:.1f} ms | {qps_pipe:,.0f} | double-buffered scan/merge |
 
 Serving tax proper (the device-chained serving program vs the raw
 kernel): {qps_prog / qps_kernel * 100:.0f}% — the serve step adds
 {(t_prog - t_kernel) * 1e3:.1f} ms/batch for rotation + shard_map +
-merge. The serve() API rows additionally pay the axon tunnel's
+merge. The serve() API rows additionally pay a remote-dispatch backend's
 per-call round trip (~150-190 ms of latency jitter, NOT throughput:
 requests pipeline, and a real TPU host's PCIe link removes it).
 top-1 parity serve vs direct kernel: {agree * 100:.1f}%.

@@ -10,7 +10,7 @@ scan over the same OPQ codes (the role of opq/src/IVFOPQ.cpp:279-309).
 BASELINE.md requires (b)'s recall delta <= 0.5 pt, measured on
 N_REC=2048 queries (±~1 pt binomial noise at recall ~0.2).
 
-Timing: the axon TPU tunnel's block_until_ready does NOT block, so
+Timing: some remote-dispatch TPU backends' block_until_ready does NOT block, so
 steady-state latency is measured with device-chained execution — ITERS
 search calls inside one jitted lax.scan with a data-dependent carry, one
 host fetch at the end — minus a separately measured per-dispatch launch
@@ -103,14 +103,14 @@ def main():
     float(jnp.sum(warm2._dec_sq[-8:]))
     del warm2
     # end-to-end ingest: host floats -> device codes (includes the
-    # host->device staging; on the axon tunnel that link is ~50 MB/s and
+    # host->device staging; on a remote-dispatch backend that link can be ~50 MB/s and
     # dominates — a real TPU host feeds over PCIe)
     t0 = time.time()
     for s in range(0, base.shape[0], FlatADCIndex.ENC_CHUNK):
         idx.add(base[s:s + FlatADCIndex.ENC_CHUNK])
     idx._materialize()
     # force completion with a data-dependent fetch (block_until_ready is
-    # unreliable on the axon tunnel)
+    # unreliable on remote-dispatch backends)
     float(jnp.sum(idx._dec_sq[-8:]))
     ingest_per_sec = base.shape[0] / (time.time() - t0)
     # encoder throughput proper: device-resident floats -> codes

@@ -97,7 +97,7 @@ def _encode_many(x, rotation, codebooks, rotate: bool):
     """x [C, T, D] device-resident chunk stack -> (codes [C, T, M] u8,
     dec_sq [C, T] f32) in ONE dispatch: a lax.map over fixed-shape chunks
     keeps peak memory at one [M, T, K] distance block while amortizing
-    the per-dispatch launch overhead (~25 ms on the axon tunnel) across
+    the per-dispatch launch overhead (~25 ms on remote-dispatch backends) across
     the whole stack — this is what lifts encode to >=1M codes/s."""
     def one(xc):
         return _encode_chunk(xc, rotation, codebooks, rotate)

@@ -336,7 +336,7 @@ def _durand_kerner(coeffs, iters: int = 80):
     [..., n+1] (c0=1), returned as (real [..., n], imag [..., n]).
 
     Fixed-iteration Weierstrass/Durand-Kerner in EXPLICIT real/imag
-    arithmetic: the axon TPU backend lacks complex reduction ops, and
+    arithmetic: some TPU backends lack complex reduction ops, and
     split arithmetic lowers to plain VPU f32 everywhere."""
     n = coeffs.shape[-1] - 1
     c0 = coeffs.astype(jnp.float32)
@@ -470,7 +470,7 @@ def fit_essential_5pt(src: jax.Array, dst: jax.Array):
     # p(z) = det(z I - A), with the Newton ratio p/p' obtained from the
     # trace identity  p'/p = tr((z I - A)^{-1})  via batched linear
     # solves — no polynomial coefficients anywhere. Complex arithmetic is
-    # split into real/imag with an augmented 20x20 real system (the axon
+    # split into real/imag with an augmented 20x20 real system (some TPU
     # TPU backend lacks complex linalg). The mutual-repulsion term keeps
     # the 10 candidates distinct, so clusters resolve like they do for
     # the exact eigensolver.

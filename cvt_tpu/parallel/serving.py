@@ -231,7 +231,7 @@ class MultiHostADCServer:
         def body(qr, codes_t_l, cbt_q, srow):
             # rotation folded into the serving program: one dispatch per
             # batch instead of rotate + scan (each dispatch costs ~25 ms
-            # through the axon tunnel)
+            # through a remote-dispatch device link)
             if rotation is not None:
                 qr = jnp.matmul(qr, rotation,
                                 preferred_element_type=jnp.float32)

@@ -6,7 +6,7 @@ The reference instruments with ad-hoc wall-clock prints
   * `trace(logdir)` — context manager over jax.profiler.trace, producing
     a TensorBoard-loadable device trace of every XLA/Pallas kernel.
   * `chained_time(fn, stack)` — device-true steady-state timing on
-    backends whose `block_until_ready` is unreliable (the axon tunnel):
+    backends whose `block_until_ready` is unreliable (remote-dispatch device links):
     runs `fn` over a stacked batch axis inside ONE jitted lax.scan (so
     iterations execute back-to-back on device) and does a single host
     fetch; returns seconds per iteration.
@@ -45,7 +45,7 @@ def chained_time(fn, stack, *, consts=(), reduce_out=None,
     carry, and only the carry is fetched — one host round-trip total.
 
     Pass LARGE arrays via `consts`, not via fn's closure: closed-over
-    arrays embed as HLO constants, and the axon tunnel's remote-compile
+    arrays embed as HLO constants, and a remote-dispatch backend's remote-compile
     endpoint rejects oversized request bodies (HTTP 413) once those
     constants reach a few hundred MB.
     """
@@ -87,7 +87,7 @@ def roofline(flops: float, bytes_accessed: float, seconds: float) -> Roofline:
 
 def measure_launch_overhead() -> float:
     """Per-dispatch host->device round-trip overhead in seconds, measured
-    with a trivial jitted op (on the axon tunnel this is ~30 ms; on local
+    with a trivial jitted op (on remote-dispatch backends this is ~30 ms; on local
     hardware it is microseconds). Subtract from one-shot timings."""
     import jax
     import jax.numpy as jnp

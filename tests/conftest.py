@@ -3,10 +3,10 @@
 Must set the env vars BEFORE jax is imported anywhere (SURVEY.md §4's
 multi-host testing recipe the reference lacks).
 
-The platform is FORCED to cpu (the driver environment presets
-JAX_PLATFORMS=axon, which would silently move the whole suite onto the
-one real TPU chip and break every 8-device mesh test). The real-hardware
-lane is explicit opt-in:
+The platform is FORCED to cpu (an environment that presets JAX_PLATFORMS
+to a TPU backend would silently move the whole suite onto a single real
+chip and break every 8-device mesh test). The real-hardware lane is
+explicit opt-in:
 
     CVT_TPU_TEST_PLATFORM=tpu pytest tests/test_pallas.py tests/test_adc_index.py
 """
