@@ -15,8 +15,13 @@ Commands:
   search_adc         query a flat ADC index, report recall if GT given
   feature_extractor  extract SIFT features from .npy image stacks
   retrieve           image-level retrieval over extracted features
+  vocab_tree_retriever  index + rank database images by vocab tree
+  database_creator/cleaner/merger  feature-database management
+  image_deleter/filterer/undistorter  image management
   serve              sharded query server over a saved ADC index
   bench              run the north-star benchmark
+(plus the matcher family: exhaustive/sequential/spatial/vocab_tree/
+image_pairs matchers and matches_importer)
 """
 
 from __future__ import annotations
@@ -185,7 +190,8 @@ def _cmd_matcher(args, mode: str):
                         "database — run feature_extractor first")
                 train = np.concatenate(descs)
                 index = VocabHEIndex(n_words=min(args.num_words,
-                                                 max(len(train) // 4, 16)))
+                                                 max(len(train) // 4, 16)),
+                                     dim=train.shape[1])
                 index.train(jax.random.key(0),
                             train.astype(np.float32), iters=10)
             pairs = pl.vocab_tree_pairs(db, index,
@@ -241,6 +247,187 @@ def _cmd_retrieve(args):
                                    rerank=args.rerank or None)
         print(json.dumps({"query": b, "results": names,
                           "scores": [float(s) for s in scores]}))
+
+
+def _cmd_vocab_tree_retriever(args):
+    """Index database images into a VocabHEIndex and rank them for each
+    query image (RunVocabTreeRetriever, exe/vocab_tree.cc:73-184):
+    read-or-train tree -> Add every database image -> Prepare ->
+    batched Query -> print per-query ranked (image, score) lines."""
+    import jax
+    from cvt_tpu.index import VocabHEIndex
+    from cvt_tpu.io.database import FeatureDatabase
+
+    def read_list(path, db):
+        if not path:
+            return [i for i, _ in db.iter_images()]
+        with open(path) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+        ids = []
+        for n in names:
+            iid = db.image_id(n)
+            if iid is None:
+                print(f"WARNING: image {n!r} not in database, skipped")
+            else:
+                ids.append(iid)
+        return ids
+
+    with FeatureDatabase(args.database) as db:
+        db_ids = read_list(args.database_image_list, db)
+        q_ids = read_list(args.query_image_list, db) \
+            if args.query_image_list else []
+        if args.vocab_index:
+            index = VocabHEIndex.load(args.vocab_index)
+        else:
+            descs = [d for d in (db.read_descriptors(i) for i in db_ids)
+                     if d is not None and len(d)]
+            if not descs:
+                raise SystemExit("vocab_tree_retriever: no descriptors "
+                                 "in the database")
+            train = np.concatenate(descs).astype(np.float32)
+            index = VocabHEIndex(
+                n_words=min(args.num_words, max(len(train) // 4, 16)),
+                dim=train.shape[1], probes=args.probes)
+            index.train(jax.random.key(0), train, iters=10)
+        id_of_slot = []
+        for i, iid in enumerate(db_ids):
+            d = db.read_descriptors(iid)
+            if d is None or not len(d):
+                continue
+            if args.max_features > 0:
+                d = d[:args.max_features]
+            kp = db.read_keypoints(iid)
+            geom = (kp[:len(d), :4] if kp is not None
+                    and kp.shape[1] >= 4 else None)
+            index.add_image(d.astype(np.float32),
+                            name=db.image_name(iid), geometries=geom)
+            id_of_slot.append(iid)
+            print(f"Indexing image [{i + 1}/{len(db_ids)}]")
+        index.prepare()
+        if args.output_index:
+            index.save(args.output_index)
+        if not q_ids:
+            return 0
+        # pad query descriptor sets to one [Q, Kq, D] batch
+        qs, vs, gs, names = [], [], [], []
+        kq = 0
+        for iid in q_ids:
+            d = db.read_descriptors(iid)
+            d = np.zeros((0, index.dim), np.float32) if d is None else d
+            if args.max_features > 0:
+                d = d[:args.max_features]
+            kq = max(kq, len(d), 1)
+            qs.append(d.astype(np.float32))
+            kp = db.read_keypoints(iid)
+            gs.append(kp[:len(d), :4] if kp is not None
+                      and kp.shape[1] >= 4
+                      else np.zeros((len(d), 4), np.float32))
+            names.append(db.image_name(iid))
+        batch = np.zeros((len(qs), kq, index.dim), np.float32)
+        valid = np.zeros((len(qs), kq), bool)
+        geom = np.zeros((len(qs), kq, 4), np.float32)
+        for i, (d, g) in enumerate(zip(qs, gs)):
+            batch[i, :len(d)] = d
+            valid[i, :len(d)] = True
+            geom[i, :len(d)] = g
+        ids, scores, slot_names = index.query_batch(
+            batch, topk=args.topk, valid=valid,
+            verify=args.verify, geometries=geom if args.verify else None)
+        for qi, qname in enumerate(names):
+            print(f"Querying for image {qname} [{qi + 1}/{len(names)}]")
+            for j, s in zip(ids[qi], scores[qi]):
+                print(f"  image_name={slot_names[int(j)]}, "
+                      f"score={float(s):f}")
+    return 0
+
+
+def _cmd_database_creator(args):
+    """Create an empty feature database (RunDatabaseCreator)."""
+    from cvt_tpu.io.database import FeatureDatabase
+    with FeatureDatabase(args.database):
+        pass
+    print(json.dumps({"created": args.database}))
+
+
+def _cmd_database_cleaner(args):
+    """Clear database tables (RunDatabaseCleaner, exe/database.cc:40)."""
+    from cvt_tpu.io.database import FeatureDatabase
+    with FeatureDatabase(args.database) as db:
+        db.clear(args.type)
+    print(json.dumps({"cleared": args.type}))
+
+
+def _cmd_database_merger(args):
+    """Merge two databases (RunDatabaseMerger, exe/database.cc:91)."""
+    import os
+    from cvt_tpu.io.database import FeatureDatabase
+    if os.path.exists(args.merged_database):
+        raise SystemExit("ERROR: merged database file must not exist")
+    with FeatureDatabase(args.database1) as d1, \
+            FeatureDatabase(args.database2) as d2, \
+            FeatureDatabase(args.merged_database) as out:
+        FeatureDatabase.merge(d1, d2, out)
+        n = out.num_images()
+    print(json.dumps({"merged": args.merged_database, "n_images": n}))
+
+
+def _cmd_image_deleter(args):
+    """Delete images from a saved reconstruction or a feature database
+    (RunImageDeleter, exe/image.cc:77-154)."""
+    from cvt_tpu.match.reconstruction import Reconstruction
+
+    names = []
+    if args.image_names_path:
+        with open(args.image_names_path) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+    ids = []
+    if args.image_ids_path:
+        with open(args.image_ids_path) as f:
+            ids = [int(ln) for ln in f if ln.strip()]
+
+    if args.database:
+        from cvt_tpu.io.database import FeatureDatabase
+        with FeatureDatabase(args.database) as db:
+            for n in names:
+                iid = db.image_id(n)
+                if iid is not None:
+                    ids.append(iid)
+                else:
+                    print(f"WARNING: skipping {n!r}: not in database")
+            deleted = sum(bool(db.delete_image(i)) for i in set(ids))
+        print(json.dumps({"deleted": deleted}))
+        return 0
+
+    rec = Reconstruction.load(args.input_path)
+    for n in names:
+        iid = rec.find_image_id(n)
+        if iid is None:
+            print(f"WARNING: skipping image_name={n}: not registered")
+        else:
+            ids.append(iid)
+    deleted = 0
+    for iid in set(ids):
+        if rec.deregister_image(iid):
+            deleted += 1
+        else:
+            print(f"WARNING: skipping image_id={iid}: not registered")
+    rec.save(args.output_path)
+    print(json.dumps({"deleted": deleted,
+                      "n_images": len(rec.images)}))
+    return 0
+
+
+def _cmd_image_filterer(args):
+    """Deregister under-observed images (RunImageFilterer,
+    exe/image.cc:155-203)."""
+    from cvt_tpu.match.reconstruction import Reconstruction
+    rec = Reconstruction.load(args.input_path)
+    before = len(rec.images)
+    n = rec.filter_images(
+        min_num_observations=args.min_num_observations)
+    rec.save(args.output_path)
+    print(f"Filtered {n} images from a total of {before} images")
+    return 0
 
 
 def _cmd_image_undistorter(args):
@@ -442,6 +629,53 @@ def main(argv=None):
     g.add_argument("--blank-pixels", type=float, default=0.0)
     g.add_argument("--out", required=True)
     g.set_defaults(fn=_cmd_image_undistorter)
+
+    g = sub.add_parser("vocab_tree_retriever")
+    g.add_argument("--database", required=True)
+    g.add_argument("--vocab_index", default="",
+                   help="saved VocabHEIndex .npz (else train from db)")
+    g.add_argument("--database_image_list", default="")
+    g.add_argument("--query_image_list", default="")
+    g.add_argument("--output_index", default="")
+    g.add_argument("--num_words", type=int, default=65536)
+    g.add_argument("--probes", type=int, default=8)
+    g.add_argument("--max_features", type=int, default=-1)
+    g.add_argument("--topk", type=int, default=10)
+    g.add_argument("--verify", type=int, default=0,
+                   help="spatially re-rank this many candidates")
+    g.set_defaults(fn=_cmd_vocab_tree_retriever)
+
+    g = sub.add_parser("database_creator")
+    g.add_argument("--database", required=True)
+    g.set_defaults(fn=_cmd_database_creator)
+
+    g = sub.add_parser("database_cleaner")
+    g.add_argument("--database", required=True)
+    g.add_argument("--type", required=True,
+                   choices=["all", "images", "features", "matches"])
+    g.set_defaults(fn=_cmd_database_cleaner)
+
+    g = sub.add_parser("database_merger")
+    g.add_argument("--database1", required=True)
+    g.add_argument("--database2", required=True)
+    g.add_argument("--merged_database", required=True)
+    g.set_defaults(fn=_cmd_database_merger)
+
+    g = sub.add_parser("image_deleter")
+    g.add_argument("--input_path", default="",
+                   help="saved Reconstruction .npz")
+    g.add_argument("--output_path", default="")
+    g.add_argument("--database", default="",
+                   help="operate on a FeatureDatabase instead")
+    g.add_argument("--image_ids_path", default="")
+    g.add_argument("--image_names_path", default="")
+    g.set_defaults(fn=_cmd_image_deleter)
+
+    g = sub.add_parser("image_filterer")
+    g.add_argument("--input_path", required=True)
+    g.add_argument("--output_path", required=True)
+    g.add_argument("--min_num_observations", type=int, default=10)
+    g.set_defaults(fn=_cmd_image_filterer)
 
     g = sub.add_parser("serve")
     g.add_argument("--index", required=True)

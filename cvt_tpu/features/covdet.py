@@ -27,10 +27,15 @@ from cvt_tpu.features.detect import detect_octave, hessian_response
 from cvt_tpu.features.scale_space import build_pyramid
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class SiftFeatures:
     """frames [B, K, 4] = (x, y, sigma, angle) in input-image coords;
-    descriptors [B, K, 128]; response [B, K]; valid [B, K] bool."""
+    descriptors [B, K, 128]; response [B, K]; valid [B, K] bool.
+
+    Registered as a pytree so `extract_sift` can sit directly under a
+    caller's `jax.jit` / `vmap` / `shard_map`.
+    """
     frames: jax.Array
     descriptors: jax.Array
     response: jax.Array

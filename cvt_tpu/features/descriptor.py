@@ -45,10 +45,28 @@ def bilinear_sample(img: jax.Array, xs: jax.Array, ys: jax.Array):
 
 
 def _sample_level(stack: jax.Array, level: jax.Array, xs, ys):
-    """stack [L, H, W]; level [] int; xs/ys [...] -> values [...]."""
-    img = jax.lax.dynamic_index_in_dim(stack, level, axis=0,
-                                       keepdims=False)
-    return bilinear_sample(img, xs, ys)
+    """stack [L, H, W]; level [] int; xs/ys [...] -> values [...].
+
+    Bilinear gather through FLAT indices into the whole stack rather
+    than slicing the level image out first: under the per-keypoint
+    vmap, a dynamic level slice would materialize one full [H, W]
+    image per keypoint ([B*K, H, W] in HBM — 80 GB at the reference's
+    max_num_features=8192 operating point on 640x480 input); flat
+    gathers keep it at 4 scalars per sample.
+    """
+    l, h, w = stack.shape
+    flat = stack.reshape(-1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
+    fx = jnp.clip(xs - x0, 0.0, 1.0)
+    fy = jnp.clip(ys - y0, 0.0, 1.0)
+    base = level * (h * w) + y0 * w + x0
+    v00 = flat[base]
+    v01 = flat[base + 1]
+    v10 = flat[base + w]
+    v11 = flat[base + w + 1]
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
 
 
 @partial(jax.jit, static_argnames=("n_samples", "n_orientations",

@@ -110,7 +110,19 @@ def detect_octave(dog: jax.Array, *, max_k: int,
 
     ok = extremum & edge_ok & inb
     score = jnp.where(ok, jnp.abs(dog), 0.0).reshape(b, -1)
-    topv, topi = jax.lax.top_k(score, max_k)                     # [B, K]
+    # small octaves can hold fewer candidate positions than max_k (at
+    # the reference operating point max_num_features=8192, sift.h:62,
+    # the top pyramid levels always do): select what exists, then pad
+    # invalid slots so the caller sees a fixed [B, max_k] shape.
+    k_eff = min(max_k, score.shape[1])
+    topv, topi = jax.lax.top_k(score, k_eff)                     # [B, K]
+    if k_eff < max_k:
+        pad = max_k - k_eff
+        topv = jnp.pad(topv, ((0, 0), (0, pad)))
+        # point padded slots at an interior position (level 1, (1, 1));
+        # valid=False masks them everywhere downstream
+        topi = jnp.pad(topi, ((0, 0), (0, pad)),
+                       constant_values=h * w + w + 1)
     valid = topv > 0.0
     lev_i = topi // (h * w)
     rem = topi % (h * w)

@@ -77,15 +77,17 @@ def _he_weight(h: jax.Array) -> jax.Array:
     return jnp.where(h <= HE_MAX_DIST, w, 0.0)
 
 
-@partial(jax.jit, static_argnames=("n_images",))
-def _score_query(q_words, q_sigs, q_valid, buckets_img, buckets_sig,
-                 buckets_burst, tail_word, tail_img, tail_sig, tail_burst,
-                 idf, n_images):
+def _score_one(q_words, q_sigs, q_valid, buckets_img, buckets_sig,
+               buckets_burst, tail_word, tail_img, tail_sig, tail_burst,
+               idf, n_images, tail_tc=32768):
     """q_words [Kq]; q_sigs [Kq, 2]; buckets_* [W, L, ...]; tail_* [T, ...].
 
     Returns unnormalized image scores [n_images]. The tail pass scores
     bucket-overflow entries exactly (word-equality gather replaced by a
-    dense [Kq, T] word-equality mask)."""
+    dense [Kq, T] word-equality mask). `tail_tc` bounds the per-step
+    [Kq, Tc] tail matrix (smaller when many queries are vmapped over
+    this body so [Q, Kq, Tc] stays in memory budget).
+    """
     b_img = buckets_img[q_words]                  # [Kq, L]
     b_sig = buckets_sig[q_words]                  # [Kq, L, 2]
     b_burst = buckets_burst[q_words]              # [Kq, L]
@@ -102,7 +104,7 @@ def _score_query(q_words, q_sigs, q_valid, buckets_img, buckets_sig,
     # 1M-word skew) never materializes a [Kq, T] matrix bigger than
     # [Kq, 32768] per step
     t = tail_word.shape[0]
-    tc = min(t, 32768)
+    tc = min(t, tail_tc)
     n_tc = -(-t // tc)
     pad = n_tc * tc - t
     if pad:
@@ -128,6 +130,30 @@ def _score_query(q_words, q_sigs, q_valid, buckets_img, buckets_sig,
         (tail_word.reshape(n_tc, tc), tail_img.reshape(n_tc, tc),
          tail_sig.reshape(n_tc, tc, 2), tail_burst.reshape(n_tc, tc)))
     return scores
+
+
+@partial(jax.jit, static_argnames=("n_images",))
+def _score_query(q_words, q_sigs, q_valid, buckets_img, buckets_sig,
+                 buckets_burst, tail_word, tail_img, tail_sig, tail_burst,
+                 idf, n_images):
+    return _score_one(q_words, q_sigs, q_valid, buckets_img, buckets_sig,
+                      buckets_burst, tail_word, tail_img, tail_sig,
+                      tail_burst, idf, n_images)
+
+
+@partial(jax.jit, static_argnames=("n_images", "tail_tc"))
+def _score_query_many(q_words, q_sigs, q_valid, buckets_img, buckets_sig,
+                      buckets_burst, tail_word, tail_img, tail_sig,
+                      tail_burst, idf, n_images, tail_tc):
+    """Batched scoring: q_words [Q, Kq], q_sigs [Q, Kq, 2], q_valid
+    [Q, Kq] -> [Q, n_images]. One compiled program scores the whole
+    query batch; bucket gathers and the tail pass batch over Q (the
+    reference loops exe/vocab_tree.cc:155-181 one image at a time)."""
+    return jax.vmap(
+        lambda w, s, v: _score_one(
+            w, s, v, buckets_img, buckets_sig, buckets_burst, tail_word,
+            tail_img, tail_sig, tail_burst, idf, n_images,
+            tail_tc=tail_tc))(q_words, q_sigs, q_valid)
 
 
 @jax.jit
@@ -488,6 +514,68 @@ class VocabHEIndex:
         v, i = jax.lax.top_k(norm, k)
         i = np.asarray(i)
         return [self._names[j] for j in i], np.asarray(v)
+
+    def query_batch(self, descriptors, *, topk: int = 10, valid=None,
+                    geometries=None, verify: int = 0,
+                    image_extent: float = 1024.0,
+                    verify_chunk: int = 8):
+        """Batched multi-image query: descriptors [Q, Kq, D] (padded),
+        valid [Q, Kq] -> (ids [Q, topk], scores [Q, topk], names).
+
+        One descriptor->word assignment pass covers every query image
+        (the dominant cost at large vocabularies — the reference's
+        retriever, exe/vocab_tree.cc:155-181, pays it per image), and
+        one compiled program scores the whole batch. verify > 0
+        re-ranks each query's top-`verify` candidates spatially
+        (requires `geometries` [Q, Kq, 4]), chunked over queries to
+        bound the [chunk, C, Kq, Ki] match tensors.
+        """
+        if not self._prepared:
+            self.prepare()
+        x = jnp.asarray(descriptors, jnp.float32)
+        q, kq, d = x.shape
+        words, sigs = self._encode(x.reshape(q * kq, d))
+        words = words.reshape(q, kq)
+        sigs = sigs.reshape(q, kq, 2)
+        if valid is None:
+            valid = jnp.ones((q, kq), bool)
+        valid = jnp.asarray(valid)
+        # bound the vmapped tail pass at ~32M scored pairs per step
+        tail_tc = max(1024, min(32768, (1 << 25) // max(q * kq, 1)))
+        scores = _score_query_many(
+            words, sigs, valid, self._b_img, self._b_sig, self._b_burst,
+            self._t_word, self._t_img, self._t_sig, self._t_burst,
+            self._idf, self.n_images, tail_tc)
+        q_self = jnp.sqrt(jnp.maximum(jnp.sum(
+            (self._idf[words] ** 2) * valid, axis=1,
+            dtype=jnp.float32), 1e-12))
+        norm = scores / (self._self_norm[None, :] * q_self[:, None])
+
+        if verify > 0:
+            if geometries is None:
+                raise ValueError("verify>0 requires query `geometries`")
+            c = min(verify, self.n_images)
+            _, cand = jax.lax.top_k(norm, c)                   # [Q, C]
+            g = jnp.asarray(geometries, jnp.float32).reshape(q, kq, 4)
+            vv_fn = jax.jit(jax.vmap(
+                lambda w, s, v, gg, cw, cs, cv, cg: _verify_candidates(
+                    w, s, v, gg, cw, cs, cv, cg, self._idf,
+                    image_extent)))
+            parts = []
+            for lo in range(0, q, verify_chunk):
+                hi = min(lo + verify_chunk, q)
+                ci = cand[lo:hi]
+                parts.append(vv_fn(
+                    words[lo:hi], sigs[lo:hi], valid[lo:hi], g[lo:hi],
+                    self._e_words[ci], self._e_sigs[ci],
+                    self._e_valid[ci], self._e_geom[ci]))
+            vv = jnp.concatenate(parts, axis=0)                # [Q, C]
+            norm = jax.vmap(lambda n, ci, s: n.at[ci].add(s))(
+                norm, cand, vv)
+
+        k = min(topk, self.n_images)
+        v, i = jax.lax.top_k(norm, k)
+        return np.asarray(i), np.asarray(v), self._names
 
     # -- persistence ------------------------------------------------------
     def save(self, path: str) -> None:

@@ -245,3 +245,94 @@ class FeatureDatabase:
 
     def commit(self) -> None:
         self.conn.commit()
+
+    # -- management (exe/database.cc, exe/image.cc) -----------------------
+    def clear(self, what: str = "all") -> None:
+        """Clear tables (RunDatabaseCleaner, exe/database.cc:40-78):
+        'all' | 'images' (images + every dependent table) | 'features'
+        (keypoints/descriptors/global features) | 'matches' (matches +
+        two-view geometries)."""
+        plans = {
+            "all": ("images", "keypoints", "descriptors",
+                    "global_features", "matches", "two_view_geometries"),
+            "images": ("images", "keypoints", "descriptors",
+                       "global_features", "matches",
+                       "two_view_geometries"),
+            "features": ("keypoints", "descriptors", "global_features"),
+            "matches": ("matches", "two_view_geometries"),
+        }
+        if what not in plans:
+            raise ValueError(f"clear type {what!r} not in {set(plans)}")
+        for table in plans[what]:
+            self.conn.execute(f"DELETE FROM {table}")
+        self.conn.commit()
+
+    def delete_image(self, image_id: int) -> bool:
+        """Remove one image and every row that references it (features,
+        global feature, matches, two-view geometries). Returns False if
+        the image does not exist."""
+        if self.image_name(image_id) is None:
+            return False
+        for table in ("images", "keypoints", "descriptors",
+                      "global_features"):
+            self.conn.execute(
+                f"DELETE FROM {table} WHERE image_id=?", (image_id,))
+        for table in ("matches", "two_view_geometries"):
+            pair_ids = [r[0] for r in self.conn.execute(
+                f"SELECT pair_id FROM {table}")]
+            drop = [(p,) for p in pair_ids
+                    if image_id in images_from_pair_id(p)]
+            self.conn.executemany(
+                f"DELETE FROM {table} WHERE pair_id=?", drop)
+        self.conn.commit()
+        return True
+
+    @staticmethod
+    def merge(db1: "FeatureDatabase", db2: "FeatureDatabase",
+              out: "FeatureDatabase") -> dict:
+        """Merge two databases into `out` (Database::Merge used by
+        RunDatabaseMerger, exe/database.cc:91-112): db1's image names
+        win on collision; db2's colliding names get a '_2' suffix.
+        Pair tables are remapped through the new image ids. Returns the
+        {old_id: new_id} map for db2."""
+        maps = []
+        for tag, db in (("", db1), ("_2", db2)):
+            idmap = {}
+            for old_id, name in db.iter_images():
+                row = db.conn.execute(
+                    "SELECT width, height FROM images WHERE image_id=?",
+                    (old_id,)).fetchone()
+                new_name = name
+                if out.image_id(new_name) is not None:
+                    new_name = name + tag if tag else name
+                    if out.image_id(new_name) is not None:
+                        raise ValueError(
+                            f"name collision on {name!r} in both inputs")
+                new_id = out.add_image(new_name, row[0] or 0, row[1] or 0)
+                idmap[old_id] = new_id
+                kp = db.read_keypoints(old_id)
+                if kp is not None:
+                    out.write_keypoints(new_id, kp)
+                desc = db.read_descriptors(old_id)
+                if desc is not None:
+                    out.write_descriptors(new_id, desc)
+                gf = db.read_global_feature(old_id)
+                if gf is not None:
+                    out.write_global_feature(new_id, gf)
+            for row in db.conn.execute(
+                    "SELECT pair_id, rows, data FROM matches"):
+                i1, i2 = images_from_pair_id(row[0])
+                m = np.frombuffer(row[2], np.int32).reshape(row[1], 2)
+                out.write_matches(idmap[i1], idmap[i2], m)
+            for row in db.conn.execute(
+                    "SELECT pair_id, rows, data, config, model "
+                    "FROM two_view_geometries"):
+                i1, i2 = images_from_pair_id(row[0])
+                m = np.frombuffer(row[2], np.int32).reshape(row[1], 2)
+                model = (None if not row[4]
+                         else np.frombuffer(row[4], np.float64))
+                out.write_two_view_geometry(idmap[i1], idmap[i2], m,
+                                            config=row[3], model=model)
+            maps.append(idmap)
+        out.commit()
+        return maps[1]

@@ -312,3 +312,106 @@ class Reconstruction:
                 del self.points3d[pid]
                 removed += 1
         return removed
+
+    # -- image management (exe/image.cc RunImageDeleter/Filterer) ---------
+    def find_image_id(self, name: str) -> Optional[int]:
+        for iid, im in self.images.items():
+            if im.name == name:
+                return iid
+        return None
+
+    def num_observations(self, image_id: int) -> int:
+        """Number of 3D points observing this image."""
+        return sum(1 for p in self.points3d.values()
+                   if int(image_id) in p.track[:, 0])
+
+    def deregister_image(self, image_id: int) -> bool:
+        """Remove an image and prune its observations from every track
+        (Reconstruction::DeRegisterImage). Tracks that fall below two
+        observations lose their 3D point. Returns False if absent."""
+        image_id = int(image_id)
+        if image_id not in self.images:
+            return False
+        del self.images[image_id]
+        dead = []
+        for pid, p in self.points3d.items():
+            keep = p.track[:, 0] != image_id
+            if keep.sum() < 2:
+                dead.append(pid)
+            else:
+                p.track = p.track[keep]
+        for pid in dead:
+            del self.points3d[pid]
+        return True
+
+    def filter_images(self, min_num_observations: int = 10) -> int:
+        """Deregister images observed by fewer than min_num_observations
+        3D points (exe/image.cc:155-203 RunImageFilterer; the reference's
+        focal-length-ratio checks belong to its pixel-space Camera layer
+        — keypoints here are already in normalized camera coordinates,
+        so only the observation-count criterion applies). Returns the
+        number of images removed."""
+        counts = {iid: 0 for iid in self.images}
+        for p in self.points3d.values():
+            for iid in np.unique(p.track[:, 0]):
+                if int(iid) in counts:
+                    counts[int(iid)] += 1
+        drop = [iid for iid, c in counts.items()
+                if c < min_num_observations]
+        for iid in drop:
+            self.deregister_image(iid)
+        return len(drop)
+
+    # -- persistence ------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Serialize to one .npz (Reconstruction::Write's binary role)."""
+        ids = sorted(self.images)
+        kp_flat = (np.concatenate([self.images[i].keypoints.reshape(-1, 2)
+                                   for i in ids])
+                   if ids else np.zeros((0, 2)))
+        kp_len = np.asarray([len(self.images[i].keypoints) for i in ids],
+                            np.int64)
+        pt_ids = sorted(self.points3d)
+        tr_flat = (np.concatenate([self.points3d[p].track.reshape(-1, 2)
+                                   for p in pt_ids])
+                   if pt_ids else np.zeros((0, 2), np.int64))
+        tr_len = np.asarray([len(self.points3d[p].track) for p in pt_ids],
+                            np.int64)
+        np.savez(
+            path,
+            image_ids=np.asarray(ids, np.int64),
+            names=np.asarray([self.images[i].name for i in ids]),
+            camera_ids=np.asarray([self.images[i].camera_id for i in ids],
+                                  np.int64),
+            rvecs=(np.stack([self.images[i].rvec for i in ids])
+                   if ids else np.zeros((0, 3))),
+            tvecs=(np.stack([self.images[i].tvec for i in ids])
+                   if ids else np.zeros((0, 3))),
+            kp_flat=kp_flat, kp_len=kp_len,
+            pt_ids=np.asarray(pt_ids, np.int64),
+            xyz=(np.stack([self.points3d[p].xyz for p in pt_ids])
+                 if pt_ids else np.zeros((0, 3))),
+            errors=np.asarray([self.points3d[p].error for p in pt_ids]),
+            tr_flat=np.asarray(tr_flat, np.int64), tr_len=tr_len)
+
+    @classmethod
+    def load(cls, path: str) -> "Reconstruction":
+        z = np.load(path, allow_pickle=False)
+        rec = cls()
+        off = 0
+        for i, iid in enumerate(z["image_ids"]):
+            n = int(z["kp_len"][i])
+            rec.register_image(
+                int(iid), str(z["names"][i]), z["rvecs"][i], z["tvecs"][i],
+                z["kp_flat"][off:off + n],
+                camera_id=int(z["camera_ids"][i]))
+            off += n
+        off = 0
+        for i, pid in enumerate(z["pt_ids"]):
+            n = int(z["tr_len"][i])
+            rec.points3d[int(pid)] = Point3D(
+                z["xyz"][i], z["tr_flat"][off:off + n].astype(np.int64),
+                float(z["errors"][i]))
+            off += n
+        rec._next_pt = int(max(rec.points3d, default=-1)) + 1
+        return rec
