@@ -70,6 +70,10 @@ def write_ivecs(path: str, x: np.ndarray) -> None:
     _write_vecs(path, x, "<i4")
 
 
+def write_bvecs(path: str, x: np.ndarray) -> None:
+    _write_vecs(path, x, np.uint8)
+
+
 def _read_cvt_records_native(path: str):
     """One-pass C++ reader (native/vecs_io.cc); returns None when the
     native library can't be built or the stream needs the slow path."""

@@ -296,26 +296,29 @@ def match_pairs(db: FeatureDatabase, pairs: Iterable[tuple[int, int]], *,
     """
     stats = MatchPipelineStats()
     key = jax.random.PRNGKey(seed)
-    cache: dict[int, tuple[jnp.ndarray, jnp.ndarray, np.ndarray]] = {}
 
-    def load(iid):
-        if iid not in cache:
-            desc = db.read_descriptors(iid)
-            kp = db.read_keypoints(iid)
-            if desc is None or len(desc) == 0:
-                cache[iid] = None
-            else:
-                d = np.asarray(desc, np.float32)
-                if d.ndim != 2:
-                    d = d.reshape(len(d), -1)
-                kb = _bucket(d.shape[0])
-                pad = np.zeros((kb, d.shape[1]), np.float32)
-                pad[:d.shape[0]] = d
-                valid = np.zeros((kb,), bool)
-                valid[:d.shape[0]] = True
-                cache[iid] = (jnp.asarray(pad), jnp.asarray(valid),
-                              np.asarray(kp) if kp is not None else None)
-        return cache[iid]
+    def _load_image(iid):
+        desc = db.read_descriptors(iid)
+        kp = db.read_keypoints(iid)
+        if desc is None or len(desc) == 0:
+            return None
+        d = np.asarray(desc, np.float32)
+        if d.ndim != 2:
+            d = d.reshape(len(d), -1)
+        kb = _bucket(d.shape[0])
+        pad = np.zeros((kb, d.shape[1]), np.float32)
+        pad[:d.shape[0]] = d
+        valid = np.zeros((kb,), bool)
+        valid[:d.shape[0]] = True
+        return (jnp.asarray(pad), jnp.asarray(valid),
+                np.asarray(kp) if kp is not None else None)
+
+    # bounded device-side feature cache (FeatureMatcherCache's role,
+    # matching.h:180-244): an unbounded dict would pin every image's
+    # padded descriptors in HBM across a large corpus
+    from cvt_tpu.utils.log import LRUCache
+    cache = LRUCache(256, _load_image)
+    load = cache.get
 
     for a, b in pairs:
         stats.n_pairs += 1

@@ -13,8 +13,8 @@ explicit opt-in:
 
 import os
 
-os.environ["JAX_PLATFORMS"] = os.environ.get(
-    "CVT_TPU_TEST_PLATFORM", "cpu")
+_platform = os.environ.get("CVT_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -23,6 +23,16 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Environments can import jax BEFORE this conftest via sitecustomize
+# (a TPU plugin registered at interpreter startup), in which case the
+# JAX_PLATFORMS env write above is too late — jax snapshotted the old
+# value at import. Force the platform through the live config too (a
+# no-op when the env var path already worked). Without this, the "CPU"
+# suite silently runs single-chip on whatever accelerator the
+# environment preset, breaking every 8-device mesh test.
+if _platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")
 
