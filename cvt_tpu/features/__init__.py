@@ -7,6 +7,7 @@ from cvt_tpu.features.descriptor import (
     assign_orientations, assign_orientations_multi, sift_descriptors,
     root_sift, bilinear_sample)
 from cvt_tpu.features.covdet import extract_sift, SiftFeatures
+from cvt_tpu.features.lines import detect_line_segments, LineSegments
 
 __all__ = [
     "build_pyramid", "OctavePyramid", "detect_octave", "hessian_response",
@@ -14,4 +15,5 @@ __all__ = [
     "assign_orientations", "assign_orientations_multi",
     "sift_descriptors", "root_sift",
     "bilinear_sample", "extract_sift", "SiftFeatures",
+    "detect_line_segments", "LineSegments",
 ]

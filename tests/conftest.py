@@ -14,7 +14,12 @@ explicit opt-in:
 import os
 
 _platform = os.environ.get("CVT_TPU_TEST_PLATFORM", "cpu")
-os.environ["JAX_PLATFORMS"] = _platform
+if _platform == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+# any other value = hardware lane: leave the environment's accelerator
+# platform selection (JAX_PLATFORMS) exactly as the environment set it
+# (plugin platform names vary; overriding with a guessed name breaks
+# plugin-registered backends)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
