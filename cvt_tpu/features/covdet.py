@@ -95,6 +95,20 @@ def extract_sift(images, *, max_features: int = 512,
     b = images.shape[0]
     per_oct = max_per_octave or max_features
 
+    if not affine_shape:
+        # Fast path: detect on every octave (cheap stencils), select the
+        # GLOBAL top-max_features by |response| first, then run the
+        # expensive per-keypoint orientation/descriptor sampling once
+        # over a concatenated flat gradient stack — identical results to
+        # the describe-everything-then-select order (selection is by
+        # response, which per-keypoint processing never changes), at
+        # 1/n_octaves of the sampling cost.
+        return _extract_fast(images, pyr, b, per_oct, max_features,
+                             peak_threshold, edge_threshold, n_scales,
+                             rootsift, n_orientations, detector,
+                             dsp_num_scales, dsp_min_scale,
+                             dsp_max_scale)
+
     def describe(octv, x_f, y_f, sigma_oct, lev_i, ang, valid, am):
         if dsp_num_scales <= 1:
             return sift_descriptors(octv.grad_dx, octv.grad_dy, x_f, y_f,
@@ -175,3 +189,114 @@ def extract_sift(images, *, max_features: int = 512,
     return SiftFeatures(frames=frames, descriptors=desc,
                         response=take(cat["resp"]), valid=valid,
                         affine=aff if affine_shape else None)
+
+
+def _extract_fast(images, pyr, b, per_oct, max_features, peak_threshold,
+                  edge_threshold, n_scales, rootsift, n_orientations,
+                  detector, dsp_num_scales, dsp_min_scale, dsp_max_scale):
+    """Global-top-K-first extraction (see extract_sift fast path)."""
+    from cvt_tpu.features.descriptor import (
+        assign_orientations_multi_flat, sift_descriptors_flat)
+
+    # ---- pass 1: detection on every octave -----------------------------
+    det = dict(x=[], y=[], lf=[], lev=[], resp=[], valid=[], oct=[])
+    meta_base, meta_h, meta_w, meta_step = [], [], [], []
+    offset = 0
+    for oi, octv in enumerate(pyr):
+        if detector == "hessian":
+            resp_stack = hessian_response(octv.gauss, n_scales=n_scales)
+        elif detector == "dog":
+            resp_stack = octv.dog
+        else:
+            raise ValueError(f"unknown detector {detector!r}")
+        l, h, w = octv.grad_dx.shape[1:]
+        # an octave cannot yield more keypoints than candidate positions
+        k_oct = min(per_oct, resp_stack.shape[1] * resp_stack.shape[2]
+                    * resp_stack.shape[3])
+        x_f, y_f, l_f, lev_i, resp, valid = detect_octave(
+            resp_stack, max_k=k_oct, peak_threshold=peak_threshold,
+            edge_threshold=edge_threshold)
+        det["x"].append(x_f)
+        det["y"].append(y_f)
+        det["lf"].append(l_f)
+        det["lev"].append(lev_i)
+        det["resp"].append(resp)
+        det["valid"].append(valid)
+        det["oct"].append(jnp.full(x_f.shape, oi, jnp.int32))
+        meta_base.append(offset)
+        meta_h.append(h)
+        meta_w.append(w)
+        meta_step.append(octv.step)
+        offset += l * h * w
+    cat = {k: jnp.concatenate(v, axis=1) for k, v in det.items()}
+
+    # ---- global selection BEFORE sampling ------------------------------
+    k_det = min(max_features, cat["resp"].shape[1])
+    score = jnp.where(cat["valid"], jnp.abs(cat["resp"]), -1.0)
+    _, sel = jax.lax.top_k(score, k_det)
+    take = lambda a: jnp.take_along_axis(a, sel, axis=1)
+    x_f, y_f, l_f = take(cat["x"]), take(cat["y"]), take(cat["lf"])
+    lev_i, resp = take(cat["lev"]), take(cat["resp"])
+    valid, oct_i = take(cat["valid"]), take(cat["oct"])
+    sigma_oct = 1.6 * (2.0 ** (l_f / float(n_scales)))
+
+    # ---- flat gradient stacks + octave metadata ------------------------
+    dxf = jnp.concatenate([o.grad_dx.reshape(b, -1) for o in pyr], axis=1)
+    dyf = jnp.concatenate([o.grad_dy.reshape(b, -1) for o in pyr], axis=1)
+    base_arr = jnp.asarray(meta_base, jnp.int32)
+    h_arr = jnp.asarray(meta_h, jnp.int32)
+    w_arr = jnp.asarray(meta_w, jnp.int32)
+    step_arr = jnp.asarray(meta_step, jnp.float32)
+
+    # ---- orientation (with duplication) --------------------------------
+    angs, aok = assign_orientations_multi_flat(
+        dxf, dyf, base_arr, h_arr, w_arr, oct_i, x_f, y_f, sigma_oct,
+        lev_i, valid, n_orientations=max(n_orientations, 1))
+    if n_orientations > 1:
+        o = n_orientations
+        tile = lambda a: jnp.repeat(a, o, axis=1)
+        x_f, y_f = tile(x_f), tile(y_f)
+        sigma_oct, lev_i = tile(sigma_oct), tile(lev_i)
+        resp, oct_i = tile(resp), tile(oct_i)
+        ang = angs.reshape(b, -1)
+        valid = aok.reshape(b, -1)
+    else:
+        # dominant peak only; keep the original validity semantics
+        ang = angs[..., 0]
+
+    # ---- descriptors (+ optional DSP pooling) --------------------------
+    def describe(sig):
+        return sift_descriptors_flat(
+            dxf, dyf, base_arr, h_arr, w_arr, oct_i, x_f, y_f, sig,
+            lev_i, ang, valid)
+
+    if dsp_num_scales <= 1:
+        desc = describe(sigma_oct)
+    else:
+        ratios = np.geomspace(dsp_min_scale, dsp_max_scale,
+                              dsp_num_scales).astype(np.float32)
+        acc = 0.0
+        for rt in ratios:
+            acc = acc + describe(sigma_oct * float(rt))
+        desc = acc / float(dsp_num_scales)
+        desc = desc * jax.lax.rsqrt(
+            jnp.sum(jnp.square(desc), axis=-1, keepdims=True) + 1e-12)
+        desc = jnp.where(valid[..., None], desc, 0.0)
+
+    # ---- final cap over duplicated slots -------------------------------
+    step = step_arr[oct_i]
+    if x_f.shape[1] > max_features:
+        score2 = jnp.where(valid, jnp.abs(resp), -1.0)
+        _, sel2 = jax.lax.top_k(score2, max_features)
+        t2 = lambda a: jnp.take_along_axis(a, sel2, axis=1)
+        x_f, y_f, sigma_oct = t2(x_f), t2(y_f), t2(sigma_oct)
+        ang, resp, valid, step = t2(ang), t2(resp), t2(valid), t2(step)
+        desc = jnp.take_along_axis(desc, sel2[..., None], axis=1)
+    frames = jnp.stack([x_f * step, y_f * step, sigma_oct * step, ang],
+                       axis=-1)
+    valid = valid & (resp != 0.0)
+    if rootsift:
+        desc = jnp.where(valid[..., None], root_sift(desc), 0.0)
+    return SiftFeatures(frames=frames, descriptors=desc,
+                        response=jnp.where(valid, resp, 0.0),
+                        valid=valid, affine=None)

@@ -278,6 +278,171 @@ def sift_descriptors(dx, dy, x, y, sigma_oct, level, angle, valid, *,
     return jnp.where(valid[..., None], desc, 0.0)
 
 
+def _flat_sampler(base_arr, h_arr, w_arr):
+    """Bilinear sampler over a CONCATENATED multi-octave flat gradient
+    stack [F]: per-keypoint (octave id, level) resolve to a flat base
+    offset through the static per-octave metadata arrays. Lets one
+    orientation/descriptor pass cover keypoints from every octave —
+    the global-top-K selection can then happen BEFORE the expensive
+    per-keypoint sampling instead of after (extract_sift fast path)."""
+    def sample(flat, oct_i, li, xs, ys):
+        hv = h_arr[oct_i]
+        wv = w_arr[oct_i]
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, wv - 2)
+        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, hv - 2)
+        fx = jnp.clip(xs - x0, 0.0, 1.0)
+        fy = jnp.clip(ys - y0, 0.0, 1.0)
+        base = base_arr[oct_i] + li * (hv * wv) + y0 * wv + x0
+        v00 = flat[base]
+        v01 = flat[base + 1]
+        v10 = flat[base + wv]
+        v11 = flat[base + wv + 1]
+        return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+                + fy * ((1 - fx) * v10 + fx * v11))
+    return sample
+
+
+def _orientation_peaks(g1, g2, wgt, n_orientations: int,
+                       peak_ratio: float):
+    """Shared orientation-histogram peak logic: sampled normalized-frame
+    gradients [P^2] -> (angles [O], ok [O])."""
+    o = n_orientations
+    mag = jnp.sqrt(g1 * g1 + g2 * g2)
+    ang = jnp.arctan2(g2, g1)
+    binf = (ang + jnp.pi) / (2 * jnp.pi) * N_ORI_BINS
+    b0 = jnp.floor(binf).astype(jnp.int32) % N_ORI_BINS
+    fb = binf - jnp.floor(binf)
+    contrib = mag * wgt
+    hist = (jnp.zeros(N_ORI_BINS)
+            .at[b0].add(contrib * (1 - fb))
+            .at[(b0 + 1) % N_ORI_BINS].add(contrib * fb))
+    for _ in range(2):
+        hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+    hmax = jnp.max(hist)
+    is_peak = ((hist >= jnp.roll(hist, 1))
+               & (hist >= jnp.roll(hist, -1))
+               & (hist >= peak_ratio * hmax) & (hmax > 0))
+    score = jnp.where(is_peak, hist, -1.0)
+    vals, bins = jax.lax.top_k(score, o)
+    hl = hist[(bins - 1) % N_ORI_BINS]
+    hc = hist[bins]
+    hr = hist[(bins + 1) % N_ORI_BINS]
+    denom = hl - 2 * hc + hr
+    off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
+    off = jnp.clip(off, -0.5, 0.5)
+    angs = ((bins + off + 0.5) / N_ORI_BINS) * 2 * jnp.pi - jnp.pi
+    ok = vals > 0
+    ok = ok.at[0].set(hmax > 0)
+    return angs, ok
+
+
+@partial(jax.jit, static_argnames=("n_samples", "n_orientations",
+                                   "peak_ratio"))
+def assign_orientations_multi_flat(dxf, dyf, base_arr, h_arr, w_arr,
+                                   oct_i, x, y, sigma_oct, level, valid,
+                                   *, n_samples: int = 16,
+                                   n_orientations: int = 4,
+                                   peak_ratio: float = 0.8, affine=None):
+    """assign_orientations_multi over a flat multi-octave stack:
+    dxf/dyf [B, F]; oct_i [B, K] int32 octave ids; x/y/sigma_oct in
+    OCTAVE-LOCAL pixels. Same math as the per-octave version."""
+    p = n_samples
+    lin = np.linspace(-1.0, 1.0, p, dtype=np.float32)
+    gx, gy = np.meshgrid(lin, lin)
+    grid = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], 1))
+    win_r = 3.0 * 1.5
+    r2 = (grid[:, 0] ** 2 + grid[:, 1] ** 2) * (win_r ** 2)
+    wgt = jnp.exp(-r2 / (2.0 * (1.5 * win_r / 2) ** 2))
+    sample = _flat_sampler(base_arr, h_arr, w_arr)
+    if affine is None:
+        eye = jnp.eye(2, dtype=jnp.float32)
+        affine = jnp.broadcast_to(eye, x.shape + (2, 2))
+
+    def per_kp(dxs, dys, oi, xi, yi, si, li, am):
+        u = si * win_r * grid[:, 0]
+        v = si * win_r * grid[:, 1]
+        xs = xi + am[0, 0] * u + am[0, 1] * v
+        ys = yi + am[1, 0] * u + am[1, 1] * v
+        vx = sample(dxs, oi, li, xs, ys)
+        vy = sample(dys, oi, li, xs, ys)
+        g1 = am[0, 0] * vx + am[1, 0] * vy
+        g2 = am[0, 1] * vx + am[1, 1] * vy
+        return _orientation_peaks(g1, g2, wgt, n_orientations, peak_ratio)
+
+    f = jax.vmap(jax.vmap(per_kp,
+                          in_axes=(None, None, 0, 0, 0, 0, 0, 0)),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+    angs, ok = f(dxf, dyf, oct_i, x, y, sigma_oct, level, affine)
+    ok = ok & valid[..., None]
+    return jnp.where(ok, angs, 0.0), ok
+
+
+@partial(jax.jit, static_argnames=("n_samples", "magnif"))
+def sift_descriptors_flat(dxf, dyf, base_arr, h_arr, w_arr, oct_i,
+                          x, y, sigma_oct, level, angle, valid, *,
+                          n_samples: int = 16, magnif: float = 3.0,
+                          affine=None):
+    """sift_descriptors over a flat multi-octave stack (see
+    assign_orientations_multi_flat). The spatial soft-assignment weights
+    are STATIC (fixed sample grid), so the [4,4,8] accumulation is one
+    [16, P^2] x [P^2, 8] matmul per keypoint."""
+    p = n_samples
+    half = N_SPATIAL / 2.0
+    lin = np.linspace(-half + half / p, half - half / p, p,
+                      dtype=np.float32)
+    gx, gy = np.meshgrid(lin, lin)
+    grid = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], 1))
+    bin_centers = (np.arange(N_SPATIAL, dtype=np.float32)
+                   - (N_SPATIAL - 1) / 2.0)
+    # static spatial weights [16, P^2]: hat(y-bin) * hat(x-bin)
+    gxn = np.stack([gx.ravel()] * N_SPATIAL, 0)
+    wxb = np.maximum(0.0, 1.0 - np.abs(gxn - bin_centers[:, None]))
+    gyn = np.stack([gy.ravel()] * N_SPATIAL, 0)
+    wyb = np.maximum(0.0, 1.0 - np.abs(gyn - bin_centers[:, None]))
+    w_spatial = jnp.asarray(
+        (wyb[:, None, :] * wxb[None, :, :]).reshape(16, -1))  # [16, P^2]
+    r2 = grid[:, 0] ** 2 + grid[:, 1] ** 2
+    wgt_gauss = jnp.exp(-r2 / (2.0 * (half ** 2)))
+    sample = _flat_sampler(base_arr, h_arr, w_arr)
+    if affine is None:
+        eye = jnp.eye(2, dtype=jnp.float32)
+        affine = jnp.broadcast_to(eye, x.shape + (2, 2))
+
+    def per_kp(dxs, dys, oi, xi, yi, si, li, ai, am):
+        ca, sa = jnp.cos(ai), jnp.sin(ai)
+        bw = magnif * si
+        rot = jnp.stack([jnp.stack([ca, -sa]), jnp.stack([sa, ca])])
+        full = rot @ am
+        u = grid[:, 0] * bw
+        v = grid[:, 1] * bw
+        xs = xi + full[0, 0] * u + full[0, 1] * v
+        ys = yi + full[1, 0] * u + full[1, 1] * v
+        vx = sample(dxs, oi, li, xs, ys)
+        vy = sample(dys, oi, li, xs, ys)
+        g1 = full[0, 0] * vx + full[1, 0] * vy
+        g2 = full[0, 1] * vx + full[1, 1] * vy
+        mag = jnp.sqrt(g1 * g1 + g2 * g2)
+        ang = jnp.arctan2(g2, g1)
+        contrib = mag * wgt_gauss
+        obinf = (ang % (2 * jnp.pi)) / (2 * jnp.pi) * N_ORI
+        o0 = jnp.floor(obinf).astype(jnp.int32) % N_ORI
+        fo = obinf - jnp.floor(obinf)
+        w_o = (jax.nn.one_hot(o0, N_ORI) * (1 - fo)[:, None]
+               + jax.nn.one_hot((o0 + 1) % N_ORI, N_ORI) * fo[:, None])
+        t = contrib[:, None] * w_o                    # [P^2, 8]
+        d = (w_spatial @ t).reshape(-1)               # [16,P^2]x[P^2,8]
+        d = d * jax.lax.rsqrt(jnp.sum(d * d) + 1e-12)
+        d = jnp.minimum(d, 0.2)
+        d = d * jax.lax.rsqrt(jnp.sum(d * d) + 1e-12)
+        return d
+
+    f = jax.vmap(jax.vmap(per_kp,
+                          in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0)),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))
+    desc = f(dxf, dyf, oct_i, x, y, sigma_oct, level, angle, affine)
+    return jnp.where(valid[..., None], desc, 0.0)
+
+
 def root_sift(desc: jax.Array, eps: float = 1e-12) -> jax.Array:
     """RootSIFT: L1-normalize, sqrt, (already unit-L2 afterwards).
     Matches hnsw_sifts_retrieval/makeSIFTs.cpp:79-95."""
