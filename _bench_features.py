@@ -78,7 +78,8 @@ def main():
 
     # ---- extraction sweep ----------------------------------------------
     ext = {}
-    for b, k in ((1, 8192), (4, 8192), (8, 8192), (8, 2048), (16, 2048)):
+    for b, k in ((1, 8192), (4, 8192), (8, 8192), (16, 8192),
+                 (8, 2048), (16, 2048)):
         imgs = procedural_images(b, H, W, seed=b)
         ips, sec, nv = bench_extract(imgs, k, overhead=overhead)
         ext[f"b{b}_k{k}"] = {

@@ -241,8 +241,11 @@ def _extract_fast(images, pyr, b, per_oct, max_features, peak_threshold,
     sigma_oct = 1.6 * (2.0 ** (l_f / float(n_scales)))
 
     # ---- flat gradient stacks + octave metadata ------------------------
-    dxf = jnp.concatenate([o.grad_dx.reshape(b, -1) for o in pyr], axis=1)
-    dyf = jnp.concatenate([o.grad_dy.reshape(b, -1) for o in pyr], axis=1)
+    # INTERLEAVED (dx, dy) so every bilinear row is one contiguous
+    # 4-element gather (_flat_sampler_pair)
+    gf = jnp.concatenate(
+        [jnp.stack([o.grad_dx.reshape(b, -1), o.grad_dy.reshape(b, -1)],
+                   axis=-1).reshape(b, -1) for o in pyr], axis=1)
     base_arr = jnp.asarray(meta_base, jnp.int32)
     h_arr = jnp.asarray(meta_h, jnp.int32)
     w_arr = jnp.asarray(meta_w, jnp.int32)
@@ -250,7 +253,7 @@ def _extract_fast(images, pyr, b, per_oct, max_features, peak_threshold,
 
     # ---- orientation (with duplication) --------------------------------
     angs, aok = assign_orientations_multi_flat(
-        dxf, dyf, base_arr, h_arr, w_arr, oct_i, x_f, y_f, sigma_oct,
+        gf, base_arr, h_arr, w_arr, oct_i, x_f, y_f, sigma_oct,
         lev_i, valid, n_orientations=max(n_orientations, 1))
     if n_orientations > 1:
         o = n_orientations
@@ -267,7 +270,7 @@ def _extract_fast(images, pyr, b, per_oct, max_features, peak_threshold,
     # ---- descriptors (+ optional DSP pooling) --------------------------
     def describe(sig):
         return sift_descriptors_flat(
-            dxf, dyf, base_arr, h_arr, w_arr, oct_i, x_f, y_f, sig,
+            gf, base_arr, h_arr, w_arr, oct_i, x_f, y_f, sig,
             lev_i, ang, valid)
 
     if dsp_num_scales <= 1:

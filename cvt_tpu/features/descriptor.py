@@ -112,9 +112,10 @@ def assign_orientations_multi(dx, dy, x, y, sigma_oct, level, valid, *,
         b0 = jnp.floor(binf).astype(jnp.int32) % N_ORI_BINS
         fb = binf - jnp.floor(binf)
         contrib = mag * wgt
-        hist = (jnp.zeros(N_ORI_BINS)
-                .at[b0].add(contrib * (1 - fb))
-                .at[(b0 + 1) % N_ORI_BINS].add(contrib * fb))
+        w_b = (jax.nn.one_hot(b0, N_ORI_BINS) * (1 - fb)[:, None]
+               + jax.nn.one_hot((b0 + 1) % N_ORI_BINS, N_ORI_BINS)
+               * fb[:, None])
+        hist = contrib @ w_b       # soft-one-hot matmul, not scatters
         for _ in range(2):
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
         hmax = jnp.max(hist)
@@ -180,9 +181,10 @@ def assign_orientations(dx, dy, x, y, sigma_oct, level, valid, *,
         b0 = jnp.floor(binf).astype(jnp.int32) % N_ORI_BINS
         fb = binf - jnp.floor(binf)
         contrib = mag * wgt
-        hist = (jnp.zeros(N_ORI_BINS)
-                .at[b0].add(contrib * (1 - fb))
-                .at[(b0 + 1) % N_ORI_BINS].add(contrib * fb))
+        w_b = (jax.nn.one_hot(b0, N_ORI_BINS) * (1 - fb)[:, None]
+               + jax.nn.one_hot((b0 + 1) % N_ORI_BINS, N_ORI_BINS)
+               * fb[:, None])
+        hist = contrib @ w_b       # soft-one-hot matmul, not scatters
         # smooth the histogram (VLFeat smooths 6x; 2 passes suffice here)
         for _ in range(2):
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
@@ -302,10 +304,45 @@ def _flat_sampler(base_arr, h_arr, w_arr):
     return sample
 
 
+def _flat_sampler_pair(base_arr, h_arr, w_arr):
+    """Paired bilinear sampler over an INTERLEAVED (dx, dy) flat stack
+    gf [2*F] with gf[2f] = dx[f], gf[2f+1] = dy[f].
+
+    Each bilinear row is ONE contiguous 4-element gather
+    (dx00, dy00, dx01, dy01) instead of four scalar gathers — gather
+    descriptors are the hottest op of orientation/descriptor sampling
+    on TPU, and contiguous slices cut their count 4x while moving the
+    same bytes."""
+    def sample(gf, oct_i, li, xs, ys):
+        hv = h_arr[oct_i]
+        wv = w_arr[oct_i]
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, wv - 2)
+        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, hv - 2)
+        fx = jnp.clip(xs - x0, 0.0, 1.0)
+        fy = jnp.clip(ys - y0, 0.0, 1.0)
+        base = base_arr[oct_i] + li * (hv * wv) + y0 * wv + x0
+        row0 = jax.vmap(
+            lambda i: jax.lax.dynamic_slice(gf, (2 * i,), (4,)))(base)
+        row1 = jax.vmap(
+            lambda i: jax.lax.dynamic_slice(gf, (2 * (i + wv),),
+                                            (4,)))(base)
+        fx1 = fx[:, None]
+        top = (1 - fx1) * row0[:, 0:2] + fx1 * row0[:, 2:4]   # [P^2, 2]
+        bot = (1 - fx1) * row1[:, 0:2] + fx1 * row1[:, 2:4]
+        v = (1 - fy[:, None]) * top + fy[:, None] * bot
+        return v[:, 0], v[:, 1]                               # (vx, vy)
+    return sample
+
+
 def _orientation_peaks(g1, g2, wgt, n_orientations: int,
                        peak_ratio: float):
     """Shared orientation-histogram peak logic: sampled normalized-frame
-    gradients [P^2] -> (angles [O], ok [O])."""
+    gradients [P^2] -> (angles [O], ok [O]).
+
+    The 36-bin accumulation is a soft-one-hot [P^2, 36] matmul rather
+    than 2*P^2 scatter-adds — per-keypoint scatters were the single
+    hottest op of the whole extraction pipeline on TPU (the descriptor
+    accumulation uses the same formulation)."""
     o = n_orientations
     mag = jnp.sqrt(g1 * g1 + g2 * g2)
     ang = jnp.arctan2(g2, g1)
@@ -313,9 +350,10 @@ def _orientation_peaks(g1, g2, wgt, n_orientations: int,
     b0 = jnp.floor(binf).astype(jnp.int32) % N_ORI_BINS
     fb = binf - jnp.floor(binf)
     contrib = mag * wgt
-    hist = (jnp.zeros(N_ORI_BINS)
-            .at[b0].add(contrib * (1 - fb))
-            .at[(b0 + 1) % N_ORI_BINS].add(contrib * fb))
+    w_b = (jax.nn.one_hot(b0, N_ORI_BINS) * (1 - fb)[:, None]
+           + jax.nn.one_hot((b0 + 1) % N_ORI_BINS, N_ORI_BINS)
+           * fb[:, None])                                  # [P^2, 36]
+    hist = contrib @ w_b
     for _ in range(2):
         hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
     hmax = jnp.max(hist)
@@ -338,14 +376,15 @@ def _orientation_peaks(g1, g2, wgt, n_orientations: int,
 
 @partial(jax.jit, static_argnames=("n_samples", "n_orientations",
                                    "peak_ratio"))
-def assign_orientations_multi_flat(dxf, dyf, base_arr, h_arr, w_arr,
+def assign_orientations_multi_flat(gf, base_arr, h_arr, w_arr,
                                    oct_i, x, y, sigma_oct, level, valid,
                                    *, n_samples: int = 16,
                                    n_orientations: int = 4,
                                    peak_ratio: float = 0.8, affine=None):
     """assign_orientations_multi over a flat multi-octave stack:
-    dxf/dyf [B, F]; oct_i [B, K] int32 octave ids; x/y/sigma_oct in
-    OCTAVE-LOCAL pixels. Same math as the per-octave version."""
+    gf [B, 2F] INTERLEAVED (dx, dy) gradients; oct_i [B, K] int32
+    octave ids; x/y/sigma_oct in OCTAVE-LOCAL pixels. Same math as the
+    per-octave version."""
     p = n_samples
     lin = np.linspace(-1.0, 1.0, p, dtype=np.float32)
     gx, gy = np.meshgrid(lin, lin)
@@ -353,32 +392,31 @@ def assign_orientations_multi_flat(dxf, dyf, base_arr, h_arr, w_arr,
     win_r = 3.0 * 1.5
     r2 = (grid[:, 0] ** 2 + grid[:, 1] ** 2) * (win_r ** 2)
     wgt = jnp.exp(-r2 / (2.0 * (1.5 * win_r / 2) ** 2))
-    sample = _flat_sampler(base_arr, h_arr, w_arr)
+    sample = _flat_sampler_pair(base_arr, h_arr, w_arr)
     if affine is None:
         eye = jnp.eye(2, dtype=jnp.float32)
         affine = jnp.broadcast_to(eye, x.shape + (2, 2))
 
-    def per_kp(dxs, dys, oi, xi, yi, si, li, am):
+    def per_kp(gfs, oi, xi, yi, si, li, am):
         u = si * win_r * grid[:, 0]
         v = si * win_r * grid[:, 1]
         xs = xi + am[0, 0] * u + am[0, 1] * v
         ys = yi + am[1, 0] * u + am[1, 1] * v
-        vx = sample(dxs, oi, li, xs, ys)
-        vy = sample(dys, oi, li, xs, ys)
+        vx, vy = sample(gfs, oi, li, xs, ys)
         g1 = am[0, 0] * vx + am[1, 0] * vy
         g2 = am[0, 1] * vx + am[1, 1] * vy
         return _orientation_peaks(g1, g2, wgt, n_orientations, peak_ratio)
 
     f = jax.vmap(jax.vmap(per_kp,
-                          in_axes=(None, None, 0, 0, 0, 0, 0, 0)),
-                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
-    angs, ok = f(dxf, dyf, oct_i, x, y, sigma_oct, level, affine)
+                          in_axes=(None, 0, 0, 0, 0, 0, 0)),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0))
+    angs, ok = f(gf, oct_i, x, y, sigma_oct, level, affine)
     ok = ok & valid[..., None]
     return jnp.where(ok, angs, 0.0), ok
 
 
 @partial(jax.jit, static_argnames=("n_samples", "magnif"))
-def sift_descriptors_flat(dxf, dyf, base_arr, h_arr, w_arr, oct_i,
+def sift_descriptors_flat(gf, base_arr, h_arr, w_arr, oct_i,
                           x, y, sigma_oct, level, angle, valid, *,
                           n_samples: int = 16, magnif: float = 3.0,
                           affine=None):
@@ -403,12 +441,12 @@ def sift_descriptors_flat(dxf, dyf, base_arr, h_arr, w_arr, oct_i,
         (wyb[:, None, :] * wxb[None, :, :]).reshape(16, -1))  # [16, P^2]
     r2 = grid[:, 0] ** 2 + grid[:, 1] ** 2
     wgt_gauss = jnp.exp(-r2 / (2.0 * (half ** 2)))
-    sample = _flat_sampler(base_arr, h_arr, w_arr)
+    sample = _flat_sampler_pair(base_arr, h_arr, w_arr)
     if affine is None:
         eye = jnp.eye(2, dtype=jnp.float32)
         affine = jnp.broadcast_to(eye, x.shape + (2, 2))
 
-    def per_kp(dxs, dys, oi, xi, yi, si, li, ai, am):
+    def per_kp(gfs, oi, xi, yi, si, li, ai, am):
         ca, sa = jnp.cos(ai), jnp.sin(ai)
         bw = magnif * si
         rot = jnp.stack([jnp.stack([ca, -sa]), jnp.stack([sa, ca])])
@@ -417,8 +455,7 @@ def sift_descriptors_flat(dxf, dyf, base_arr, h_arr, w_arr, oct_i,
         v = grid[:, 1] * bw
         xs = xi + full[0, 0] * u + full[0, 1] * v
         ys = yi + full[1, 0] * u + full[1, 1] * v
-        vx = sample(dxs, oi, li, xs, ys)
-        vy = sample(dys, oi, li, xs, ys)
+        vx, vy = sample(gfs, oi, li, xs, ys)
         g1 = full[0, 0] * vx + full[1, 0] * vy
         g2 = full[0, 1] * vx + full[1, 1] * vy
         mag = jnp.sqrt(g1 * g1 + g2 * g2)
@@ -437,9 +474,9 @@ def sift_descriptors_flat(dxf, dyf, base_arr, h_arr, w_arr, oct_i,
         return d
 
     f = jax.vmap(jax.vmap(per_kp,
-                          in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0)),
-                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))
-    desc = f(dxf, dyf, oct_i, x, y, sigma_oct, level, angle, affine)
+                          in_axes=(None, 0, 0, 0, 0, 0, 0, 0)),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+    desc = f(gf, oct_i, x, y, sigma_oct, level, angle, affine)
     return jnp.where(valid[..., None], desc, 0.0)
 
 

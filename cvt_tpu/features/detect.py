@@ -153,13 +153,26 @@ def detect_octave(dog: jax.Array, *, max_k: int,
                   - p[..., 0, 1, 2] + p[..., 0, 1, 0])
     hys = 0.25 * (p[..., 2, 2, 1] - p[..., 2, 0, 1]
                   - p[..., 0, 2, 1] + p[..., 0, 0, 1])
-    hess = jnp.stack([
-        jnp.stack([hxx, hxy, hxs], -1),
-        jnp.stack([hxy, hyy, hys], -1),
-        jnp.stack([hxs, hys, hss], -1),
-    ], axis=-2)                                                  # [B,K,3,3]
-    eye = jnp.eye(3, dtype=jnp.float32) * 1e-6
-    off = -jnp.linalg.solve(hess + eye, g[..., None])[..., 0]    # [B,K,3]
+    # closed-form symmetric 3x3 solve (adjugate/Cramer): a batched
+    # linalg.solve here lowered to a per-keypoint LU loop that was a
+    # measurable chunk of the whole extraction pipeline on TPU
+    a00 = hxx + 1e-6
+    a11 = hyy + 1e-6
+    a22 = hss + 1e-6
+    c00 = a11 * a22 - hys * hys
+    c01 = hxs * hys - hxy * a22
+    c02 = hxy * hys - hxs * a11
+    c11 = a00 * a22 - hxs * hxs
+    c12 = hxy * hxs - a00 * hys
+    c22 = a00 * a11 - hxy * hxy
+    det = a00 * c00 + hxy * c01 + hxs * c02
+    inv_det = jnp.where(jnp.abs(det) > 1e-20, 1.0 / det, 0.0)
+    gx_, gy_, gs_ = g[..., 0], g[..., 1], g[..., 2]
+    off = -inv_det[..., None] * jnp.stack([
+        c00 * gx_ + c01 * gy_ + c02 * gs_,
+        c01 * gx_ + c11 * gy_ + c12 * gs_,
+        c02 * gx_ + c12 * gy_ + c22 * gs_,
+    ], axis=-1)                                                  # [B,K,3]
     off = jnp.clip(off, -1.0, 1.0)   # reject divergent fits conservatively
 
     x_f = x_i.astype(jnp.float32) + off[..., 0]
