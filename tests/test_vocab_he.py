@@ -198,3 +198,39 @@ def test_vocab_exact_blocked_assignment(rng):
     w, _ = idx._encode(images[0])
     w_flat, _ = kmeans_assign(jax.numpy.asarray(images[0]), idx.words)
     np.testing.assert_array_equal(np.asarray(w), np.asarray(w_flat))
+
+
+def test_query_batch_matches_single(rng):
+    """query_batch == per-image query (ids, scores, verify path)."""
+    import jax
+    from cvt_tpu.io.datasets import synthetic_sift
+
+    base = synthetic_sift(2000, 64, seed=3)[:, :64]
+    idx = VocabHEIndex(n_words=128, dim=64, hierarchical=False)
+    idx.train(jax.random.key(0), base[:1000])
+    geoms = rng.uniform(0, 512, (10, 80, 4)).astype(np.float32)
+    for i in range(10):
+        idx.add_image(base[i * 80:(i + 1) * 80], name=f"im{i}",
+                      geometries=geoms[i])
+    idx.prepare()
+    qs = np.stack([
+        np.clip(base[i * 80:(i + 1) * 80]
+                + rng.normal(0, 6, (80, 64)), 0, 255)
+        for i in (1, 4, 7)]).astype(np.float32)
+    ids, sc, names = idx.query_batch(qs, topk=4)
+    for qi, src in enumerate((1, 4, 7)):
+        n1, s1 = idx.query(qs[qi], topk=4)
+        assert [names[j] for j in ids[qi]] == n1
+        np.testing.assert_allclose(sc[qi], s1, atol=1e-5)
+        assert n1[0] == f"im{src}"
+    # verified batch path agrees with the verified single-query path
+    # (random geometries: verification scores are noise, so assert
+    # batch==single rather than self-retrieval)
+    qg = rng.uniform(0, 512, (3, 80, 4)).astype(np.float32)
+    ids2, sc2, names2 = idx.query_batch(qs, topk=4, verify=3,
+                                        geometries=qg)
+    for qi in range(3):
+        n1, s1 = idx.query(qs[qi], topk=4, verify=3,
+                           geometries=qg[qi])
+        assert [names2[j] for j in ids2[qi]] == n1
+        np.testing.assert_allclose(sc2[qi], s1, atol=1e-4)
