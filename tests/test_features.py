@@ -262,3 +262,24 @@ def test_affine_descriptor_sampling_property():
     cos_plain = float(d1 @ d2_plain)
     assert cos_aff > 0.95, cos_aff
     assert cos_aff > cos_plain + 0.05, (cos_aff, cos_plain)
+
+
+@pytest.mark.slow
+def test_extract_operating_point_vmem():
+    """The vlindex operating point compiles and runs at full scale:
+    first_octave=-1, K=2048 (>= the VMEM-feasibility bar), 640x480,
+    two orientations, RootSIFT (sift.h:44-113). On the TPU lane this
+    proves device feasibility; on CPU it proves the shapes trace."""
+    from cvt_tpu.io.datasets import procedural_images
+    imgs = procedural_images(2, 480, 640, seed=11)
+    out = extract_sift(imgs, max_features=2048, first_octave=-1,
+                       n_orientations=2, rootsift=True)
+    d = np.asarray(out.descriptors)
+    v = np.asarray(out.valid)
+    assert d.shape == (2, 2048, 128)
+    assert (v.sum(axis=1) > 500).all(), v.sum(axis=1)
+    norms = np.linalg.norm(d[0][v[0]], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+    fr = np.asarray(out.frames)
+    assert (fr[v][:, 0] >= 0).all() and (fr[v][:, 0] < 640).all()
+    assert (fr[v][:, 1] >= 0).all() and (fr[v][:, 1] < 480).all()
