@@ -21,6 +21,7 @@ Measured on one real chip:
 Writes BENCH_FEATURES.md-ready JSON to stdout.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -67,7 +68,7 @@ def bench_extract(imgs, max_features, n_orientations=2, overhead=0.0):
     return b / sec, sec, nv
 
 
-def main():
+def main(stages=("extract", "match", "verify")):
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}))
     overhead = measure_launch_overhead()
     report = {"operating_point": {
@@ -78,8 +79,9 @@ def main():
 
     # ---- extraction sweep ----------------------------------------------
     ext = {}
-    for b, k in ((1, 8192), (4, 8192), (8, 8192), (16, 8192),
-                 (8, 2048), (16, 2048)):
+    sweep = ((1, 8192), (4, 8192), (8, 8192), (16, 8192),
+             (8, 2048), (16, 2048)) if "extract" in stages else ()
+    for b, k in sweep:
         imgs = procedural_images(b, H, W, seed=b)
         ips, sec, nv = bench_extract(imgs, k, overhead=overhead)
         ext[f"b{b}_k{k}"] = {
@@ -138,19 +140,29 @@ def main():
     pad = lambda a: np.pad(a, ((0, npair - len(a)), (0, 0)))
     g = estimate_two_view_geometry(key, pad(src), pad(dst),
                                    np.arange(npair) < len(src))
-    t0 = time.time()
-    n_ver = 6
-    for t in range(n_ver):
+    # production semantics (match_pairs): pad match sets to a fixed
+    # bucket so the batched-hypothesis RANSAC compiles ONCE — feeding
+    # raw variable-length sets would recompile per pair
+    BUCKET = 1024
+
+    def one_verify(t):
         i, j = t % 8, (t + 1) % 8
         mres = match_one((desc[i], desc[j], valid[i], valid[j]))[0]
         idx2 = np.asarray(mres.idx2)
         mv = np.asarray(mres.valid)
-        src = frames[i][:, :2][mv]
-        dst = frames[j][idx2, :2][mv]
-        if len(src) < 16:
-            continue
-        g = estimate_two_view_geometry(jax.random.fold_in(key, t),
-                                       src, dst)
+        src = frames[i][:, :2][mv][:BUCKET]
+        dst = frames[j][idx2, :2][mv][:BUCKET]
+        nsrc = len(src)
+        padb = lambda a: np.pad(a, ((0, BUCKET - nsrc), (0, 0)))
+        return estimate_two_view_geometry(
+            jax.random.fold_in(key, t), padb(src), padb(dst),
+            np.arange(BUCKET) < nsrc)
+
+    one_verify(0)                       # warm the bucketed shapes
+    t0 = time.time()
+    n_ver = 8
+    for t in range(n_ver):
+        g = one_verify(t)
     ver_s = (time.time() - t0) / n_ver
     report["verify_two_view"] = {
         "pairs_per_s": round(1.0 / ver_s, 2),
@@ -161,4 +173,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    stages = tuple(sys.argv[1].split(",")) if len(sys.argv) > 1 else (
+        "extract", "match", "verify")
+    main(stages)
