@@ -4,7 +4,7 @@ import numpy as np
 
 from cvt_tpu.io import (
     read_cvt_records, read_fvecs, read_ivecs,
-    write_cvt_records, write_fvecs, write_ivecs,
+    write_bvecs, write_cvt_records, write_fvecs, write_ivecs,
 )
 from cvt_tpu.io.datasets import synthetic_sift
 
@@ -40,3 +40,13 @@ def test_synthetic_sift_stats():
     # deterministic
     base2 = synthetic_sift(1000, 128, seed=3)
     np.testing.assert_array_equal(base, base2)
+
+
+def test_bvecs_roundtrip(tmp_path, rng):
+    from cvt_tpu.io.vecs import read_bvecs
+    x = rng.integers(0, 256, size=(37, 64)).astype(np.uint8)
+    p = str(tmp_path / "x.bvecs")
+    write_bvecs(p, x)
+    y = read_bvecs(p)
+    assert y.dtype == np.uint8
+    np.testing.assert_array_equal(x, y)
