@@ -276,22 +276,36 @@ def _cmd_vocab_tree_retriever(args):
         db_ids = read_list(args.database_image_list, db)
         q_ids = read_list(args.query_image_list, db) \
             if args.query_image_list else []
+        desc_of = {}                 # read each image's blobs ONCE
         if args.vocab_index:
             index = VocabHEIndex.load(args.vocab_index)
         else:
-            descs = [d for d in (db.read_descriptors(i) for i in db_ids)
-                     if d is not None and len(d)]
-            if not descs:
+            for i in db_ids:
+                d = db.read_descriptors(i)
+                if d is not None and len(d):
+                    desc_of[i] = d
+            if not desc_of:
                 raise SystemExit("vocab_tree_retriever: no descriptors "
                                  "in the database")
-            train = np.concatenate(descs).astype(np.float32)
+            train = np.concatenate(list(desc_of.values())).astype(
+                np.float32)
             index = VocabHEIndex(
                 n_words=min(args.num_words, max(len(train) // 4, 16)),
                 dim=train.shape[1], probes=args.probes)
             index.train(jax.random.key(0), train, iters=10)
-        id_of_slot = []
+        # a loaded index already carries its indexed images; adding on
+        # top would orphan the loaded entries on re-prepare (the
+        # reference skips already-indexed ids, vocab_tree.cc:116-120)
+        indexed = set(index._names)
         for i, iid in enumerate(db_ids):
-            d = db.read_descriptors(iid)
+            name = db.image_name(iid)
+            if name in indexed:
+                print(f"Indexing image [{i + 1}/{len(db_ids)}] "
+                      f"(already indexed)")
+                continue
+            d = desc_of.get(iid)
+            if d is None:
+                d = db.read_descriptors(iid)
             if d is None or not len(d):
                 continue
             if args.max_features > 0:
@@ -299,9 +313,8 @@ def _cmd_vocab_tree_retriever(args):
             kp = db.read_keypoints(iid)
             geom = (kp[:len(d), :4] if kp is not None
                     and kp.shape[1] >= 4 else None)
-            index.add_image(d.astype(np.float32),
-                            name=db.image_name(iid), geometries=geom)
-            id_of_slot.append(iid)
+            index.add_image(d.astype(np.float32), name=name,
+                            geometries=geom)
             print(f"Indexing image [{i + 1}/{len(db_ids)}]")
         index.prepare()
         if args.output_index:

@@ -280,30 +280,6 @@ def sift_descriptors(dx, dy, x, y, sigma_oct, level, angle, valid, *,
     return jnp.where(valid[..., None], desc, 0.0)
 
 
-def _flat_sampler(base_arr, h_arr, w_arr):
-    """Bilinear sampler over a CONCATENATED multi-octave flat gradient
-    stack [F]: per-keypoint (octave id, level) resolve to a flat base
-    offset through the static per-octave metadata arrays. Lets one
-    orientation/descriptor pass cover keypoints from every octave —
-    the global-top-K selection can then happen BEFORE the expensive
-    per-keypoint sampling instead of after (extract_sift fast path)."""
-    def sample(flat, oct_i, li, xs, ys):
-        hv = h_arr[oct_i]
-        wv = w_arr[oct_i]
-        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, wv - 2)
-        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, hv - 2)
-        fx = jnp.clip(xs - x0, 0.0, 1.0)
-        fy = jnp.clip(ys - y0, 0.0, 1.0)
-        base = base_arr[oct_i] + li * (hv * wv) + y0 * wv + x0
-        v00 = flat[base]
-        v01 = flat[base + 1]
-        v10 = flat[base + wv]
-        v11 = flat[base + wv + 1]
-        return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
-                + fy * ((1 - fx) * v10 + fx * v11))
-    return sample
-
-
 def _flat_sampler_pair(base_arr, h_arr, w_arr):
     """Paired bilinear sampler over an INTERLEAVED (dx, dy) flat stack
     gf [2*F] with gf[2f] = dx[f], gf[2f+1] = dy[f].

@@ -65,6 +65,10 @@ def _level_lines(img):
     gx = 0.5 * ((b - a) + (d - c))
     gy = 0.5 * ((c - a) + (d - b))
     mag = jnp.sqrt(gx * gx + gy * gy)
+    # the roll-based stencil wraps at the last row/column (opposite-edge
+    # differences would fabricate high-NFA border segments); mark them
+    # unusable like the reference's NOTDEF border (lsd.c ll_angle)
+    mag = mag.at[..., -1].set(0.0).at[..., -1, :].set(0.0)
     # level-line angle is perpendicular to the gradient
     ang = jnp.arctan2(gx, -gy)
     return ang, mag
@@ -91,13 +95,13 @@ def _shift(x, dy, dx, fill):
     return out
 
 
-@partial(jax.jit, static_argnames=("max_segments", "cc_iters"))
+@partial(jax.jit, static_argnames=("max_segments", "grad_threshold",
+                                   "tau_deg", "min_pixels", "nfa_eps"))
 def detect_line_segments(images, *, max_segments: int = 128,
                          grad_threshold: float = 0.02,
                          tau_deg: float = 22.5,
                          min_pixels: int = 16,
-                         nfa_eps: float = 0.0,
-                         cc_iters: int = 24) -> LineSegments:
+                         nfa_eps: float = 0.0) -> LineSegments:
     """images [B, H, W] float in [0, 1] -> LineSegments.
 
     grad_threshold: minimum gradient magnitude for a pixel to be usable
@@ -143,8 +147,8 @@ def detect_line_segments(images, *, max_segments: int = 128,
     labels, _ = jax.lax.while_loop(
         lambda s: s[1], lambda s: step(s),
         (labels, jnp.bool_(True)))
-    # cap (while_loop above converges by label monotonicity; cc_iters
-    # retained in the signature for forward compatibility)
+    # (the while_loop converges by label monotonicity: every step can
+    # only lower labels, and a fixed point stops the loop)
 
     # ---- per-component moments via scatter-add ------------------------
     lab_flat = jnp.clip(labels.reshape(b, -1), 0, h * w - 1)
@@ -166,9 +170,15 @@ def detect_line_segments(images, *, max_segments: int = 128,
     syy = seg_sum(wgt * ys * ys)
     sxy = seg_sum(wgt * xs * ys)
 
-    # top components by pixel count
+    # top components by pixel count (clamped to the candidate count
+    # for tiny images, detect_octave-style)
     score = jnp.where(cnt >= min_pixels, cnt, 0.0)
-    top_c, comp = jax.lax.top_k(score, max_segments)     # [B, L]
+    k_eff = min(max_segments, score.shape[1])
+    top_c, comp = jax.lax.top_k(score, k_eff)            # [B, L]
+    if k_eff < max_segments:
+        pad = max_segments - k_eff
+        top_c = jnp.pad(top_c, ((0, 0), (0, pad)))
+        comp = jnp.pad(comp, ((0, 0), (0, pad)))
     take = lambda a: jnp.take_along_axis(a, comp, axis=1)
     n_pix = take(cnt)
     swc, sxc, syc = take(sw), take(sx), take(sy)

@@ -341,6 +341,15 @@ class VocabHEIndex:
         frames enabling query-time spatial verification
         (inverted_file_entry.h:47-109 stores the same 16-byte geometry).
         """
+        if self._names and not self._entries:
+            # a load()ed index keeps only its BAKED bucket layout; new
+            # stagings would orphan every loaded entry on re-prepare
+            # (prepare rebuilds from staged entries alone). Rebuild the
+            # index from descriptors to extend it.
+            raise ValueError(
+                "cannot add_image to a loaded VocabHEIndex: its entries "
+                "are baked into the prepared layout; rebuild the index "
+                "from descriptors to extend it")
         img_id = self.n_images
         words, sigs = self._encode(descriptors)
         k = len(np.asarray(words))
@@ -357,6 +366,8 @@ class VocabHEIndex:
         """Lay out padded per-word buckets (+ exact overflow tail), idf,
         burstiness weights, and per-image self-similarity norms
         (visual_index.h:505-508) in one batched scoring pass."""
+        if self._prepared and not self._entries:
+            return                  # loaded index: layout already baked
         w_all = np.concatenate([w for _, w, _, _ in self._entries])
         s_all = np.concatenate([s for _, _, s, _ in self._entries])
         g_all = np.concatenate([g for _, _, _, g in self._entries])

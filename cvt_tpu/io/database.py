@@ -252,12 +252,16 @@ class FeatureDatabase:
         'all' | 'images' (images + every dependent table) | 'features'
         (keypoints/descriptors/global features) | 'matches' (matches +
         two-view geometries)."""
+        # 'images' clears images + every dependent table; with no
+        # separate cameras table here, 'all' is the same set (the
+        # reference's RunDatabaseCleaner distinguishes them only by its
+        # cameras table)
+        _images_tables = ("images", "keypoints", "descriptors",
+                          "global_features", "matches",
+                          "two_view_geometries")
         plans = {
-            "all": ("images", "keypoints", "descriptors",
-                    "global_features", "matches", "two_view_geometries"),
-            "images": ("images", "keypoints", "descriptors",
-                       "global_features", "matches",
-                       "two_view_geometries"),
+            "all": _images_tables,
+            "images": _images_tables,
             "features": ("keypoints", "descriptors", "global_features"),
             "matches": ("matches", "two_view_geometries"),
         }

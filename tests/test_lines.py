@@ -78,3 +78,23 @@ def test_batched_two_images():
         got = _line_angle_deg(segs[best])
         diff = min(abs(got - expect), 180.0 - abs(got - expect))
         assert diff < 6.0
+
+
+def test_ramp_no_phantom_border_segments():
+    """A plain intensity ramp has no lines; the wrap-around stencil at
+    the image border must not fabricate high-NFA edge segments."""
+    xx = np.linspace(0, 1, 128, dtype=np.float32)
+    img = np.broadcast_to(xx, (96, 128)).copy()
+    out = detect_line_segments(img, max_segments=8)
+    assert not np.asarray(out.valid).any()
+
+
+def test_explicit_params_and_tiny_image():
+    img = _edge_image(96, 128, 40.0)
+    out = detect_line_segments(img, max_segments=8, tau_deg=30.0,
+                               grad_threshold=0.01, min_pixels=20,
+                               nfa_eps=1.0)
+    assert np.asarray(out.valid).any()
+    tiny = _edge_image(8, 8, 0.0)
+    out2 = detect_line_segments(tiny, max_segments=128)  # k > h*w
+    assert np.asarray(out2.segments).shape == (1, 128, 4)
