@@ -77,16 +77,18 @@ def build_part_a():
     import os
     rng = np.random.default_rng(5)
     cache_p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "_data", "vocab5_db_mosaic.npz")
+                           "_data", "vocab5_db_mosaic16.npz")
     t0 = time.time()
     # ---- corpus: MOSAICS from a SHARED patch bank --------------------
     # Every image is a 3x4 grid of patches drawn (with replacement)
-    # from one 96-patch bank, so distinct images share most of their
-    # local features — the confusable regime where assignment quality
-    # can actually cost recall. (Independent per-image textures made
-    # every query trivially separable: recall saturated at 1.0 for all
-    # probe settings, twice.)
-    BANK = procedural_images(96, 160, 160, seed=777)
+    # from one SIXTEEN-patch bank: any 2-4 patches visible in a crop
+    # query appear, in some arrangement, in MANY database images, so
+    # pure bag-of-words scores genuinely collide and only the patch
+    # ARRANGEMENT separates them — the regime where assignment quality
+    # and spatial verification decide recall. (A 96-patch bank and
+    # independent per-image textures both saturated recall at 1.0 for
+    # every probe setting.)
+    BANK = procedural_images(16, 160, 160, seed=777)
 
     def make_images(n0, n, seed):
         r = np.random.default_rng(seed)

@@ -160,7 +160,7 @@ def main():
             [dsq_ref, jnp.zeros((npad_ref - n_total,), jnp.float32)])
     ids_ref_parts = []
     for s in range(0, n_rec, 1024):
-        qr_ref = idx._rotate(queries[s:s + 1024])
+        qr_ref = idx._rotate(queries[s:min(s + 1024, n_rec)])
         qsq_ref = jnp.sum(jnp.square(qr_ref), axis=-1)
         _, ids_r = _adc_scan(qr_ref, qsq_ref, codes_ref_arr, dsq_ref,
                              opq.pq.codebooks, K, ref_chunk, n_total)
